@@ -1,0 +1,87 @@
+"""Differential tests: detector/orientation/keypoint ops vs the reference PyTorch code."""
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax.numpy as jnp
+
+from onnx_image_processing_tpu.ops import (
+    shi_tomasi_score,
+    angle_estimation,
+    nms_maxpool,
+    select_topk_keypoints,
+)
+
+
+@requires_reference
+@pytest.mark.parametrize("block_size", [3, 5])
+def test_shi_tomasi_matches_reference(gray_image, block_size):
+    import torch
+    from pytorch_model.detector.shi_tomasi import ShiTomasiScore
+
+    ref = ShiTomasiScore(block_size=block_size)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(gray_image)).numpy()
+
+    got = np.asarray(shi_tomasi_score(jnp.asarray(gray_image), block_size=block_size))
+    scale = max(1.0, np.abs(expected).max())
+    np.testing.assert_allclose(got, expected, atol=1e-3 * scale, rtol=1e-4)
+
+
+@requires_reference
+@pytest.mark.parametrize("patch_size,sigma", [(15, 2.5), (7, 1.5)])
+def test_angle_estimation_matches_reference(gray_image, patch_size, sigma):
+    import torch
+    from pytorch_model.orientation.angle_estimation import AngleEstimator
+
+    ref = AngleEstimator(patch_size=patch_size, sigma=sigma)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(gray_image)).numpy()
+
+    got = np.asarray(angle_estimation(jnp.asarray(gray_image), patch_size=patch_size, sigma=sigma))
+    # atan2 output: compare angle difference modulo 2*pi.
+    d = np.abs(np.angle(np.exp(1j * (got - expected))))
+    assert d.max() < 1e-3
+
+
+@requires_reference
+def test_nms_topk_matches_reference(gray_image):
+    import torch
+    from pytorch_model.detector.shi_tomasi import ShiTomasiScore
+    from pytorch_model.utils.keypoint_utils import apply_nms_maxpool, select_topk_keypoints as ref_topk
+
+    with torch.no_grad():
+        scores_t = ShiTomasiScore(block_size=5)(torch.from_numpy(gray_image)).squeeze(1)
+        mask_t = apply_nms_maxpool(scores_t, nms_radius=3)
+        kpts_t, ks_t = ref_topk(scores_t, mask_t, 128, 0.0, 16)
+
+    scores_j = shi_tomasi_score(jnp.asarray(gray_image), block_size=5)[:, 0]
+    mask_j = nms_maxpool(scores_j, 3)
+    kpts_j, ks_j = select_topk_keypoints(scores_j, mask_j, 128, 0.0, 16)
+
+    # NMS masks must agree except at near-tie pixels.
+    agree = (np.asarray(mask_j) == mask_t.numpy()).mean()
+    assert agree > 0.999
+
+    # Keypoints compared as sets (top-k tie order may differ between backends).
+    set_ref = {tuple(p) for p in kpts_t[0].numpy().astype(int) if p[0] >= 0}
+    set_jax = {tuple(p) for p in np.asarray(kpts_j[0]).astype(int) if p[0] >= 0}
+    inter = len(set_ref & set_jax)
+    assert inter >= 0.98 * max(len(set_ref), 1), (len(set_ref), len(set_jax), inter)
+
+    # Scores of selected keypoints agree as sorted multisets.
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ks_j[0]))[::-1], np.sort(ks_t[0].numpy())[::-1],
+        rtol=1e-3, atol=1e-2,
+    )
+
+
+def test_topk_pads_invalid_with_minus_one(gray_image):
+    scores = shi_tomasi_score(jnp.asarray(gray_image))[:, 0]
+    mask = nms_maxpool(scores, 3)
+    # Absurdly high threshold: nothing survives.
+    kpts, ks = select_topk_keypoints(scores, mask, 64, score_threshold=1e12)
+    assert np.all(np.asarray(kpts) == -1.0)
+    assert np.all(np.asarray(ks) == 0.0)
