@@ -8,6 +8,23 @@ orientation,matching,utils,threshold,depth,pointcloud}`` nn.Module zoo
 from .shi_tomasi import shi_tomasi_score
 from .orientation import angle_estimation, angle_estimation_multiscale
 from .keypoints import nms_maxpool, select_topk_keypoints
+from .bad import (
+    BADParams,
+    load_bad_params,
+    dense_bad,
+    sparse_bad,
+    extract_descriptors_at_keypoints,
+    extract_descriptors_at_keypoints_subpixel,
+)
+from .sinkhorn import (
+    sinkhorn_match,
+    sinkhorn_match_with_scores,
+    sinkhorn_match_with_filters,
+    probability_ratio_mask,
+    dustbin_margin_mask,
+)
+from .match_extraction import extract_mutual_matches
+from .outlier_filters import probability_ratio_filter, dustbin_margin_filter
 
 __all__ = [
     "shi_tomasi_score",
@@ -15,4 +32,18 @@ __all__ = [
     "angle_estimation_multiscale",
     "nms_maxpool",
     "select_topk_keypoints",
+    "BADParams",
+    "load_bad_params",
+    "dense_bad",
+    "sparse_bad",
+    "extract_descriptors_at_keypoints",
+    "extract_descriptors_at_keypoints_subpixel",
+    "sinkhorn_match",
+    "sinkhorn_match_with_scores",
+    "sinkhorn_match_with_filters",
+    "probability_ratio_mask",
+    "dustbin_margin_mask",
+    "extract_mutual_matches",
+    "probability_ratio_filter",
+    "dustbin_margin_filter",
 ]

@@ -1,0 +1,270 @@
+"""BAD (Box Average Difference) descriptors — dense and sparse, TPU-native.
+
+Functional re-design of `pytorch_model/descriptor/bad.py` using the learned
+box-pair constants shipped in ``data/bad_params_{256,512}.npz`` (extracted from
+`pytorch_model/descriptor/bad_params.py:4-1568` — learned weights, treated as data).
+
+TPU-first choices vs the reference:
+
+* **Dense unoriented path**: the reference builds an integral image and does four
+  linear-index gathers per pair (`bad.py:62-110`). Because the learned offsets are
+  integers and border handling is a clamp, each pair's box mean is a *static
+  clamped shift* of one channel of the box-average bank — so the dense map is 2P
+  edge-padded slices, zero gathers, fully fusable by XLA.
+* **Sparse path**: the reference samples all (R+1) radius channels at every
+  (keypoint, pair) position and reduces with a one-hot radius matrix
+  (`bad.py:538-557`). Here the radius channel is fused into the gather index
+  (:func:`..ops.sampling.sample_bank_fused`), cutting gather volume by (R+1)x.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import pad2d, box_average_bank
+from .sampling import sample_nearest, sample_bank_fused
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+@dataclass(frozen=True)
+class BADParams:
+    """Learned BAD constants as host numpy (compile-time constants under jit).
+
+    Offsets are rectified around the 32x32 learned patch center
+    (`pytorch_model/descriptor/bad.py:33-37`: raw params minus 16).
+    """
+
+    offset_x1: np.ndarray  # (P,)
+    offset_x2: np.ndarray
+    offset_y1: np.ndarray
+    offset_y2: np.ndarray
+    radii: np.ndarray      # (P,) int32
+    thresholds: np.ndarray  # (P,)
+    num_pairs: int
+    max_radius: int
+
+
+@lru_cache(maxsize=4)
+def load_bad_params(num_pairs: int = 256) -> BADParams:
+    if num_pairs not in (256, 512):
+        raise ValueError(
+            f"num_pairs must be 256 or 512 to use learned BAD patterns, got {num_pairs}"
+        )
+    with np.load(os.path.join(_DATA_DIR, f"bad_params_{num_pairs}.npz")) as z:
+        box_params = z["box_params"].astype(np.float32)
+        thresholds = z["thresholds"].astype(np.float32)
+    radii = box_params[:, 4].astype(np.int32)
+    return BADParams(
+        offset_x1=box_params[:, 0] - 16.0,
+        offset_x2=box_params[:, 1] - 16.0,
+        offset_y1=box_params[:, 2] - 16.0,
+        offset_y2=box_params[:, 3] - 16.0,
+        radii=radii,
+        thresholds=thresholds,
+        num_pairs=num_pairs,
+        max_radius=int(radii.max()),
+    )
+
+
+def _finalize(centered: jax.Array, binarize: bool, soft_binarize: bool,
+              temperature: float) -> jax.Array:
+    """Binarization options; BAD bit is 1 when response <= threshold
+    (`pytorch_model/descriptor/bad.py:214-218`)."""
+    if not binarize:
+        return centered
+    if soft_binarize:
+        return jax.nn.sigmoid(-centered * temperature)
+    return (centered <= 0).astype(centered.dtype)
+
+
+def _clamped_shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """x[clamp(i+dy), clamp(j+dx)] for static integer (dy, dx) — an edge-padded slice."""
+    h, w = x.shape[-2], x.shape[-1]
+    ay, ax = abs(dy), abs(dx)
+    xp = pad2d(x, ay, ax, mode="edge") if (ay or ax) else x
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, ay + dy, ay + dy + h, axis=-2),
+        ax + dx, ax + dx + w, axis=-1)
+
+
+def dense_bad(
+    image: jax.Array,
+    params: BADParams,
+    orientation: jax.Array | None = None,
+    binarize: bool = False,
+    soft_binarize: bool = True,
+    temperature: float = 10.0,
+) -> jax.Array:
+    """Dense BAD descriptor map.
+
+    Args:
+        image: (B, 1, H, W) grayscale image.
+        params: learned constants from :func:`load_bad_params`.
+        orientation: optional (B, 1, H, W) per-pixel orientation in radians; when
+            given, pair offsets are rotated per pixel (rotation-invariant mode,
+            `bad.py:112-187`); when None, the fast static-shift path is used.
+
+    Returns:
+        (B, P, H, W) descriptor map.
+    """
+    x = image.astype(jnp.float32)[:, 0]
+    b, h, w = x.shape
+    p = params.num_pairs
+    bank = box_average_bank(x, params.max_radius)  # (B, R+1, H, W)
+
+    if orientation is None:
+        # Static clamped shifts: offsets are integers (learned grid coords - 16).
+        s1 = []
+        s2 = []
+        for i in range(p):
+            r = int(params.radii[i])
+            ch = bank[:, r]
+            s1.append(_clamped_shift(ch, int(params.offset_y1[i]), int(params.offset_x1[i])))
+            s2.append(_clamped_shift(ch, int(params.offset_y2[i]), int(params.offset_x2[i])))
+        diff = jnp.stack(s1, axis=1) - jnp.stack(s2, axis=1)  # (B, P, H, W)
+    else:
+        theta = orientation.astype(jnp.float32)[:, 0]  # (B, H, W)
+        cos_t = jnp.cos(theta)[:, None]  # (B, 1, H, W)
+        sin_t = jnp.sin(theta)[:, None]
+        oy1 = jnp.asarray(params.offset_y1)[None, :, None, None]
+        ox1 = jnp.asarray(params.offset_x1)[None, :, None, None]
+        oy2 = jnp.asarray(params.offset_y2)[None, :, None, None]
+        ox2 = jnp.asarray(params.offset_x2)[None, :, None, None]
+        base_y = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+        base_x = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+        # Rotation [cos -sin; sin cos] applied to (ox, oy) (`bad.py:152-156`).
+        chan = jnp.asarray(params.radii)[None, :, None, None]
+        chan = jnp.broadcast_to(chan, (b, p, h, w))
+
+        def rot_sample(ox, oy):
+            py = base_y + (ox * sin_t + oy * cos_t)
+            px = base_x + (ox * cos_t - oy * sin_t)
+            py = jnp.broadcast_to(py, (b, p, h, w))
+            px = jnp.broadcast_to(px, (b, p, h, w))
+            return sample_bank_fused(bank, chan, py, px, mode="bilinear")
+
+        diff = rot_sample(ox1, oy1) - rot_sample(ox2, oy2)
+
+    centered = diff - jnp.asarray(params.thresholds)[None, :, None, None]
+    return _finalize(centered, binarize, soft_binarize, temperature)
+
+
+def sparse_bad(
+    image: jax.Array,
+    keypoints: jax.Array,
+    params: BADParams,
+    orientation: jax.Array | None = None,
+    binarize: bool = False,
+    soft_binarize: bool = True,
+    temperature: float = 10.0,
+    normalize_descriptors: bool = True,
+    sampling_mode: str = "nearest",
+) -> jax.Array:
+    """BAD descriptors at keypoint locations only.
+
+    Args:
+        image: (B, 1, H, W) grayscale image.
+        keypoints: (B, K, 2) float (y, x); invalid slots are (-1, -1) and produce
+            zero descriptors (`bad.py:461,569-570`).
+        params: learned constants.
+        orientation: optional (B, 1, H, W) orientation map; sampled (nearest) at
+            keypoints and used to rotate pair offsets (`bad.py:487-517`).
+        sampling_mode: 'nearest' (default, reference default) or 'bilinear'.
+
+    Returns:
+        (B, K, P) descriptors, optionally L2-normalized.
+    """
+    if sampling_mode not in ("nearest", "bilinear"):
+        raise ValueError(f"sampling_mode must be 'nearest' or 'bilinear', got {sampling_mode}")
+    x = image.astype(jnp.float32)[:, 0]
+    b, h, w = x.shape
+    p = params.num_pairs
+    k = keypoints.shape[1]
+
+    valid = (keypoints[:, :, 0] >= 0).astype(jnp.float32)  # (B, K)
+    ky = jnp.clip(keypoints[:, :, 0], 0.0, float(h - 1))
+    kx = jnp.clip(keypoints[:, :, 1], 0.0, float(w - 1))
+
+    bank = box_average_bank(x, params.max_radius)  # (B, R+1, H, W)
+
+    oy1 = jnp.asarray(params.offset_y1)[None, None, :]  # (1, 1, P)
+    ox1 = jnp.asarray(params.offset_x1)[None, None, :]
+    oy2 = jnp.asarray(params.offset_y2)[None, None, :]
+    ox2 = jnp.asarray(params.offset_x2)[None, None, :]
+
+    if orientation is not None:
+        theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
+        cos_t = jnp.cos(theta)[..., None]  # (B, K, 1)
+        sin_t = jnp.sin(theta)[..., None]
+        dy1 = ox1 * sin_t + oy1 * cos_t
+        dx1 = ox1 * cos_t - oy1 * sin_t
+        dy2 = ox2 * sin_t + oy2 * cos_t
+        dx2 = ox2 * cos_t - oy2 * sin_t
+    else:
+        dy1, dx1, dy2, dx2 = oy1, ox1, oy2, ox2
+
+    pos1_y = ky[..., None] + dy1  # (B, K, P)
+    pos1_x = kx[..., None] + dx1
+    pos2_y = ky[..., None] + dy2
+    pos2_x = kx[..., None] + dx2
+
+    chan = jnp.broadcast_to(jnp.asarray(params.radii)[None, None, :], (b, k, p))
+    s1 = sample_bank_fused(bank, chan, pos1_y, pos1_x, mode=sampling_mode)
+    s2 = sample_bank_fused(bank, chan, pos2_y, pos2_x, mode=sampling_mode)
+
+    centered = (s1 - s2) - jnp.asarray(params.thresholds)[None, None, :]
+    desc = _finalize(centered, binarize, soft_binarize, temperature)
+    desc = desc * valid[..., None]
+
+    if normalize_descriptors:
+        # torch F.normalize: v / max(||v||_2, 1e-12)
+        norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(norm, 1e-12)
+    return desc
+
+
+def extract_descriptors_at_keypoints(descriptor_map: jax.Array,
+                                     keypoints: jax.Array) -> jax.Array:
+    """Gather dense descriptors at integer keypoints.
+
+    Args:
+        descriptor_map: (B, D, H, W).
+        keypoints: (B, K, 2) integer-valued (y, x).
+
+    Returns:
+        (B, K, D). Parity: `pytorch_model/descriptor/bad.py:221-274`.
+    """
+    b, d, h, w = descriptor_map.shape
+    yi = keypoints[:, :, 0].astype(jnp.int32)
+    xi = keypoints[:, :, 1].astype(jnp.int32)
+    idx = (yi * w + xi)[:, None, :]  # (B, 1, K)
+    flat = descriptor_map.reshape(b, d, h * w)
+    out = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (b, d, idx.shape[-1])), axis=2)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+def extract_descriptors_at_keypoints_subpixel(descriptor_map: jax.Array,
+                                              keypoints: jax.Array) -> jax.Array:
+    """Bilinear sub-pixel descriptor extraction.
+
+    Parity: `pytorch_model/descriptor/bad.py:277-333` (grid_sample bilinear,
+    border padding, align_corners=True). Note the reference's 1e-8-slackened
+    normalization rescales coordinates by (dim-1)/(dim-1+1e-8); the effect is
+    O(1e-8) and ignored here.
+    """
+    from .sampling import sample_bilinear
+
+    b, d, h, w = descriptor_map.shape
+    k = keypoints.shape[1]
+    y = jnp.broadcast_to(keypoints[:, None, :, 0], (b, d, k)).reshape(b * d, k)
+    x = jnp.broadcast_to(keypoints[:, None, :, 1], (b, d, k)).reshape(b * d, k)
+    maps = descriptor_map.reshape(b * d, h, w)
+    vals = sample_bilinear(maps, y, x).reshape(b, d, k)
+    return jnp.transpose(vals, (0, 2, 1))

@@ -1,0 +1,161 @@
+"""Log-domain Sinkhorn optimal-transport matching with dustbin (SuperGlue-style).
+
+Functional re-design of `pytorch_model/matching/sinkhorn.py`. The cost matrix is an
+MXU matmul; the row/column normalizations run as a ``lax.fori_loop`` (traced once —
+the reference unrolls 20 iterations for ONNX, `sinkhorn.py:138-142`; under XLA a
+rolled loop compiles smaller with identical numerics). All logsumexp accumulation is
+kept in float32 — the reference pins fp32 on TensorRT because fp16 Sinkhorn NaNs
+(`sample/provider_utils.py:40`), and the same guidance applies to bf16 on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _cost_matrix(desc1: jax.Array, desc2: jax.Array, distance_type: str) -> jax.Array:
+    """Pairwise cost: squared-L2 via norms + matmul, or L1 (`sinkhorn.py:79-110`)."""
+    if distance_type == "l2":
+        n1 = jnp.sum(desc1 * desc1, axis=-1, keepdims=True)              # (B, N, 1)
+        n2 = jnp.sum(desc2 * desc2, axis=-1, keepdims=True)              # (B, M, 1)
+        dots = jnp.einsum("bnd,bmd->bnm", desc1, desc2,
+                          preferred_element_type=jnp.float32)
+        return jnp.maximum(n1 + jnp.swapaxes(n2, -2, -1) - 2.0 * dots, 0.0)
+    if distance_type == "l1":
+        diff = desc1[:, :, None, :] - desc2[:, None, :, :]
+        return jnp.sum(jnp.abs(diff), axis=-1)
+    raise ValueError(f"distance_type must be 'l1' or 'l2', got {distance_type}")
+
+
+def sinkhorn_match(
+    desc1: jax.Array,
+    desc2: jax.Array,
+    iterations: int = 20,
+    epsilon: float = 1.0,
+    unused_score: float = 1.0,
+    distance_type: str = "l2",
+) -> jax.Array:
+    """Soft assignment between two descriptor sets.
+
+    Args:
+        desc1: (B, N, D) descriptors.
+        desc2: (B, M, D) descriptors.
+        iterations: fixed Sinkhorn iteration count.
+        epsilon: entropy regularization (score temperature).
+        unused_score: dustbin cost; dustbin log-score is ``-unused_score/epsilon``.
+        distance_type: 'l2' (squared) or 'l1'.
+
+    Returns:
+        (B, N+1, M+1) probability matrix P = exp(log_P); last row/column is the
+        dustbin. Marginals: rows sum to 1 (dustbin row to M), columns to 1
+        (dustbin column to N). Parity: `sinkhorn.py:149-208`.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    desc1 = desc1.astype(jnp.float32)
+    desc2 = desc2.astype(jnp.float32)
+    b, n, _ = desc1.shape
+    m = desc2.shape[1]
+
+    cost = _cost_matrix(desc1, desc2, distance_type.lower())
+    log_scores = jnp.pad(-cost / epsilon, ((0, 0), (0, 1), (0, 1)),
+                         constant_values=-unused_score / epsilon)  # (B, N+1, M+1)
+
+    log_mu = jnp.concatenate(
+        [jnp.zeros((b, n), jnp.float32),
+         jnp.full((b, 1), jnp.log(float(m)), jnp.float32)], axis=1)
+    log_nu = jnp.concatenate(
+        [jnp.zeros((b, m), jnp.float32),
+         jnp.full((b, 1), jnp.log(float(n)), jnp.float32)], axis=1)
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(log_scores + v[:, None, :], axis=-1)
+        v = log_nu - jax.nn.logsumexp(log_scores + u[:, :, None], axis=-2)
+        return u, v
+
+    u0 = jnp.zeros_like(log_mu)
+    v0 = jnp.zeros_like(log_nu)
+    u, v = jax.lax.fori_loop(0, iterations, body, (u0, v0))
+
+    log_p = log_scores + u[:, :, None] + v[:, None, :]
+    return jnp.exp(log_p)
+
+
+def sinkhorn_match_with_scores(desc1, desc2, **kwargs):
+    """As :func:`sinkhorn_match`, plus per-point best-match confidences.
+
+    Returns:
+        (P, scores0 (B, N), scores1 (B, M)) — max core probability per row/column.
+        Parity: `sinkhorn.py:211-259`.
+    """
+    n, m = desc1.shape[1], desc2.shape[1]
+    p = sinkhorn_match(desc1, desc2, **kwargs)
+    core = p[:, :n, :m]
+    return p, jnp.max(core, axis=-1), jnp.max(core, axis=-2)
+
+
+def probability_ratio_mask(p_core: jax.Array, threshold: float) -> jax.Array:
+    """Best/second-best ratio test per row. Parity: `sinkhorn.py:317-353`."""
+    m = p_core.shape[-1]
+    if m >= 2:
+        top2 = jax.lax.top_k(p_core, 2)[0]
+        best, second = top2[..., 0], top2[..., 1]
+    else:
+        best = p_core[..., 0]
+        second = jnp.zeros_like(best)
+    return (best / (second + 1e-8)) >= threshold
+
+
+def dustbin_margin_mask(p: jax.Array, margin: float) -> jax.Array:
+    """best-match minus dustbin probability margin test. Parity: `sinkhorn.py:355-389`."""
+    n = p.shape[1] - 1
+    m = p.shape[2] - 1
+    core = p[:, :n, :m]
+    dustbin = p[:, :n, m]
+    return (jnp.max(core, axis=-1) - dustbin) >= margin
+
+
+def sinkhorn_match_with_filters(
+    desc1: jax.Array,
+    desc2: jax.Array,
+    iterations: int = 20,
+    epsilon: float = 1.0,
+    unused_score: float = 1.0,
+    distance_type: str = "l2",
+    ratio_threshold: float | None = None,
+    dustbin_margin: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Sinkhorn matching with in-graph outlier filters.
+
+    Filters follow the reference's enable semantics (`sinkhorn.py:303-433`):
+    ratio filter active iff ``ratio_threshold > 0``; dustbin filter active iff
+    ``dustbin_margin >= 0`` (None disables either). Filtered rows have their core
+    probabilities zeroed and dustbin forced to 1.0 (`sinkhorn.py:436-463`).
+
+    Returns:
+        (P_filtered (B, N+1, M+1), valid_mask (B, N) bool).
+    """
+    ratio_threshold = -1.0 if ratio_threshold is None else ratio_threshold
+    dustbin_margin = -1.0 if dustbin_margin is None else dustbin_margin
+
+    n, m = desc1.shape[1], desc2.shape[1]
+    p = sinkhorn_match(desc1, desc2, iterations=iterations, epsilon=epsilon,
+                       unused_score=unused_score, distance_type=distance_type)
+    b = p.shape[0]
+    valid = jnp.ones((b, n), dtype=bool)
+    core = p[:, :n, :m]
+    if ratio_threshold > 0:
+        valid = valid & probability_ratio_mask(core, ratio_threshold)
+    if dustbin_margin >= 0:
+        valid = valid & dustbin_margin_mask(p, dustbin_margin)
+
+    vf = valid.astype(p.dtype)[..., None]                  # (B, N, 1)
+    core_f = core * vf
+    dust_col = (1.0 - vf) + vf * p[:, :n, m:m + 1]          # (B, N, 1)
+    rows = jnp.concatenate([core_f, dust_col], axis=-1)     # (B, N, M+1)
+    p_f = jnp.concatenate([rows, p[:, n:n + 1, :]], axis=1)  # (B, N+1, M+1)
+    return p_f, valid
