@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The environment may expose a TPU through a PJRT plugin that registers itself
+# regardless of JAX_PLATFORMS; pin the default device to CPU so the whole test
+# suite runs on the virtual 8-device CPU mesh and never touches the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 import numpy as np
 import pytest
 

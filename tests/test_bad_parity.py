@@ -20,7 +20,8 @@ def _random_keypoints(rng, h, w, k, margin=0, n_invalid=5):
     y = rng.integers(margin, h - margin, size=k).astype(np.float32)
     x = rng.integers(margin, w - margin, size=k).astype(np.float32)
     kpts = np.stack([y, x], axis=-1)
-    kpts[-n_invalid:] = -1.0
+    if n_invalid > 0:
+        kpts[-n_invalid:] = -1.0
     return kpts[None]
 
 
@@ -30,9 +31,13 @@ def test_dense_bad_unoriented(gray_image, num_pairs):
     import torch
     from pytorch_model.descriptor.bad import BADDescriptor
 
-    ref = BADDescriptor(num_pairs=num_pairs, binarize=False)
+    # float64 oracle: the reference's float32 integral-image (double cumsum over a
+    # replicate-padded image, bad.py:71) accumulates ~0.1 absolute error at 120x160;
+    # our separable box sums are ~1e-4 from the true (float64) values, so parity is
+    # checked against the reference run in double precision.
+    ref = BADDescriptor(num_pairs=num_pairs, binarize=False).double()
     with torch.no_grad():
-        expected = ref(torch.from_numpy(gray_image)).numpy()
+        expected = ref(torch.from_numpy(gray_image).double()).numpy()
 
     params = load_bad_params(num_pairs)
     got = np.asarray(dense_bad(jnp.asarray(gray_image), params))
@@ -45,9 +50,11 @@ def test_dense_bad_binarized(gray_image):
     from pytorch_model.descriptor.bad import BADDescriptor
 
     for soft in (True, False):
-        ref = BADDescriptor(num_pairs=256, binarize=True, soft_binarize=soft, temperature=10.0)
+        # float64 oracle — see test_dense_bad_unoriented.
+        ref = BADDescriptor(num_pairs=256, binarize=True, soft_binarize=soft,
+                            temperature=10.0).double()
         with torch.no_grad():
-            expected = ref(torch.from_numpy(gray_image)).numpy()
+            expected = ref(torch.from_numpy(gray_image).double()).numpy()
         got = np.asarray(dense_bad(jnp.asarray(gray_image), load_bad_params(256),
                                    binarize=True, soft_binarize=soft, temperature=10.0))
         if soft:

@@ -86,15 +86,24 @@ def test_sinkhorn_with_filters_matches_reference(descs, ratio, margin):
 
 
 def test_sinkhorn_marginals():
-    """Doubly-stochastic property: rows/cols sum to their marginals."""
+    """Doubly-stochastic property: rows/cols sum to their marginals.
+
+    With the dustbin row/column the Sinkhorn fixed point is degenerate and
+    converges sublinearly (err ~ 1/iterations: 1.2e-2 @ 20, 3.6e-3 @ 100,
+    7.8e-4 @ 500 on this fixture) — same behavior as the reference's unrolled
+    loop; tolerances reflect that rate.
+    """
     r = np.random.default_rng(0)
     d1 = r.normal(size=(1, 30, 32)).astype(np.float32)
     d2 = r.normal(size=(1, 20, 32)).astype(np.float32)
-    p = np.asarray(sinkhorn_match(jnp.asarray(d1), jnp.asarray(d2), iterations=100))
     n, m = 30, 20
-    np.testing.assert_allclose(p[0, :n].sum(axis=1), np.ones(n), atol=1e-3)
-    np.testing.assert_allclose(p[0, :, :m].sum(axis=1)[:n], np.ones(n), atol=2e-1)
+    p = np.asarray(sinkhorn_match(jnp.asarray(d1), jnp.asarray(d2), iterations=100))
+    np.testing.assert_allclose(p[0, :n].sum(axis=1), np.ones(n), atol=5e-3)
+    # Column marginals are exact right after the final v-update.
+    np.testing.assert_allclose(p[0].sum(axis=0)[:m], np.ones(m), atol=1e-4)
     np.testing.assert_allclose(p[0].sum(), n + m, rtol=1e-3)
+    p500 = np.asarray(sinkhorn_match(jnp.asarray(d1), jnp.asarray(d2), iterations=500))
+    np.testing.assert_allclose(p500[0, :n].sum(axis=1), np.ones(n), atol=1e-3)
 
 
 @requires_reference
@@ -119,8 +128,17 @@ def test_match_extraction_matches_reference(descs):
     assert (np.asarray(v) == v_e.numpy()).all()
     nv = v_e.numpy()
     np.testing.assert_allclose(np.asarray(s)[nv], s_e.numpy()[nv], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(mk1)[nv], mk1_e.numpy()[nv], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(mk2)[nv], mk2_e.numpy()[nv], atol=1e-5)
+    # torch.topk and lax.top_k break score ties in different orders (SURVEY.md §7),
+    # so compare the *set* of (kpt1, kpt2) match pairs per batch row, not the order.
+    for bi in range(v.shape[0]):
+        row = np.asarray(nv[bi])
+        ours = {tuple(np.round(np.concatenate([np.asarray(mk1)[bi, j],
+                                               np.asarray(mk2)[bi, j]]), 4))
+                for j in np.where(row)[0]}
+        ref_set = {tuple(np.round(np.concatenate([mk1_e.numpy()[bi, j],
+                                                  mk2_e.numpy()[bi, j]]), 4))
+                   for j in np.where(row)[0]}
+        assert ours == ref_set
 
 
 @requires_reference
