@@ -1,0 +1,106 @@
+"""Pipeline configuration dataclasses.
+
+The reference threads every hyperparameter through 20-kwarg ``nn.Module``
+constructors (e.g. `pytorch_model/feature_detection/
+shi_tomasi_angle_sparse_bad_sinkhorn.py:75-94`); here the same surface is a
+single frozen (hashable) dataclass, so a config can be a ``static_argnum``
+under ``jax.jit`` and a registry key. Field names and defaults mirror the
+reference flags (README option tables, `README.md:54-66,93-103,148-177`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace, fields
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Configuration shared by every detector → descriptor → Sinkhorn pipeline.
+
+    Defaults follow the reference matcher constructors
+    (`shi_tomasi_angle_sparse_bad_sinkhorn.py:75-94`,
+    `shi_tomasi_bad_sinkhorn.py:79-95`, `akaze_sparse_bad_sinkhorn.py`).
+    ``border_margin=None`` means "descriptor max radius" for sparse pipelines
+    and 0 for dense ones, matching `shi_tomasi_sparse_bad_sinkhorn.py:121-124`.
+    """
+
+    # Keypoint selection
+    max_keypoints: int = 512
+    nms_radius: int = 3
+    score_threshold: float = 0.0
+    border_margin: int | None = None
+
+    # Shi-Tomasi detector
+    block_size: int = 3
+    sobel_size: int = 3
+
+    # Orientation (angle) estimation
+    patch_size: int = 15
+    sigma: float = 2.5
+
+    # BAD descriptor
+    num_pairs: int = 256
+    binarize: bool = False
+    soft_binarize: bool = True
+    temperature: float = 10.0
+    normalize_descriptors: bool = True
+    sampling_mode: str = "nearest"
+
+    # Sinkhorn matcher
+    sinkhorn_iterations: int = 20
+    epsilon: float = 1.0
+    unused_score: float = 1.0
+    distance_type: str = "l2"
+
+    # Outlier filters (WithFilters variants); None disables
+    ratio_threshold: float | None = None
+    dustbin_margin: float | None = None
+
+    # Match extraction wrapper
+    max_matches: int = 100
+    match_threshold: float = 0.1
+
+    def with_(self, **kwargs) -> "MatcherConfig":
+        return replace(self, **kwargs)
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "MatcherConfig":
+        """Build from a flat kwarg dict, ignoring unknown keys (CLI-friendly)."""
+        names = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in kwargs.items() if k in names and v is not None})
+
+
+@dataclass(frozen=True)
+class AKAZEConfig:
+    """AKAZE detector hyperparameters (`pytorch_model/detector/akaze.py:318-380`)."""
+
+    num_scales: int = 4
+    diffusion_iterations: int = 10
+    kappa: float = 0.01
+    detector_threshold: float = 0.001
+    nms_radius: int = 2
+    patch_size: int = 15
+    orientation_sigma: float = 2.5
+
+    def with_(self, **kwargs) -> "AKAZEConfig":
+        return replace(self, **kwargs)
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics (fx, fy, cx, cy) used to build K / K^-1 for the
+    essential-matrix pipelines (`onnx_export/
+    export_shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix.py:268`)."""
+
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+
+    def matrix(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )

@@ -1,0 +1,32 @@
+"""Composite pipelines (the reference's L3, `pytorch_model/feature_detection/`)
+as pure jit-compilable functions, plus the name → executable registry that
+replaces the ONNX export layer (SURVEY.md §2.7, §2.10)."""
+
+from .shi_tomasi_family import (
+    shi_tomasi_bad_detect,
+    shi_tomasi_with_angle,
+    shi_tomasi_angle_sparse_bad_detect,
+    shi_tomasi_bad_sinkhorn_match,
+    shi_tomasi_sparse_bad_sinkhorn_match,
+    shi_tomasi_angle_sparse_bad_sinkhorn_match,
+    shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters,
+)
+from .extraction import with_match_extraction
+from .registry import PipelineSpec, register, names, get, build, compile_model
+
+__all__ = [
+    "shi_tomasi_bad_detect",
+    "shi_tomasi_with_angle",
+    "shi_tomasi_angle_sparse_bad_detect",
+    "shi_tomasi_bad_sinkhorn_match",
+    "shi_tomasi_sparse_bad_sinkhorn_match",
+    "shi_tomasi_angle_sparse_bad_sinkhorn_match",
+    "shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters",
+    "with_match_extraction",
+    "PipelineSpec",
+    "register",
+    "names",
+    "get",
+    "build",
+    "compile_model",
+]

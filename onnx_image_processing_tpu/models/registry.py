@@ -1,0 +1,141 @@
+"""Pipeline registry: name → compiled executable.
+
+The TPU-native analogue of the reference's export layer (`onnx_export/export.py:21-62`
+registry + one `torch.onnx.export` script per model, SURVEY.md §3.1): "exporting" a
+model here means binding a pipeline function to a config and lowering it through
+``jax.jit`` with static shapes. ``build()`` returns a callable whose first call
+compiles (and caches) the XLA executable; ``compile_model()`` AOT-lowers for a
+given image shape, which is the compile-check the reference CI performs with
+``onnx.checker`` (`.github/workflows/onnx-export.yml:35-97`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MatcherConfig
+from ..ops import shi_tomasi_score
+from .shi_tomasi_family import (
+    shi_tomasi_bad_detect,
+    shi_tomasi_with_angle,
+    shi_tomasi_angle_sparse_bad_detect,
+    shi_tomasi_bad_sinkhorn_match,
+    shi_tomasi_sparse_bad_sinkhorn_match,
+    shi_tomasi_angle_sparse_bad_sinkhorn_match,
+    shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters,
+)
+from .extraction import with_match_extraction
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    name: str
+    fn: Callable            # fn(*images, cfg) -> outputs
+    n_images: int           # 1 or 2
+    defaults: MatcherConfig
+    description: str = ""
+
+
+_REGISTRY: dict[str, PipelineSpec] = {}
+
+
+def register(spec: PipelineSpec) -> None:
+    _REGISTRY[spec.name] = spec
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get(name: str) -> PipelineSpec:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown pipeline {name!r}; available: {names()}")
+    return _REGISTRY[name]
+
+
+def build(name: str, cfg: MatcherConfig | None = None, **overrides) -> Callable:
+    """Bind a pipeline to a config and wrap in ``jax.jit``.
+
+    Returns a jitted callable taking ``n_images`` (B, 1, H, W) arrays.
+    """
+    spec = get(name)
+    cfg = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) else spec.defaults
+
+    def fn(*images):
+        return spec.fn(*images, cfg)
+
+    fn.__name__ = name
+    return jax.jit(fn)
+
+
+def compile_model(name: str, height: int, width: int, batch: int = 1,
+                  cfg: MatcherConfig | None = None, **overrides):
+    """AOT-compile a pipeline for a static image shape.
+
+    Returns the compiled executable (``jax.stages.Compiled``) — the deployable
+    artifact analogous to the reference's optimized .onnx file.
+    """
+    spec = get(name)
+    fn = build(name, cfg, **overrides)
+    args = [jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
+            for _ in range(spec.n_images)]
+    return fn.lower(*args).compile()
+
+
+# ---------------------------------------------------------------------------
+# Registered pipelines — names mirror the reference's export registry outputs
+# (`onnx_export/export.py:21-62`) plus the standalone detector heads.
+# ---------------------------------------------------------------------------
+
+_BASE = MatcherConfig()
+# Registry defaults follow the reference's *export* defaults — the shipped
+# .onnx artifacts, not the module-constructor defaults: 512 pairs, 1024 kpts,
+# hard binarization, epsilon 0.05, nms radius 5
+# (`onnx_export/export.py:21-62`, `export_shi_tomasi_angle_sparse_bad_sinkhorn
+# .py:84-143`; soft epsilon=1.0 dilutes P to ~1/K on real images).
+_CI = MatcherConfig(num_pairs=512, max_keypoints=1024, binarize=True,
+                    soft_binarize=False, epsilon=0.05, nms_radius=5)
+
+register(PipelineSpec(
+    "shi_tomasi",
+    lambda img, cfg: shi_tomasi_score(img, block_size=cfg.block_size),
+    1, _BASE, "Shi-Tomasi corner score map"))
+register(PipelineSpec(
+    "shi_tomasi_bad", shi_tomasi_bad_detect, 1, _BASE,
+    "Shi-Tomasi scores + dense BAD descriptor map"))
+register(PipelineSpec(
+    "shi_tomasi_angle", shi_tomasi_with_angle, 1,
+    _BASE.with_(block_size=5), "Shi-Tomasi scores + orientation map"))
+register(PipelineSpec(
+    "shi_tomasi_angle_sparse_bad", shi_tomasi_angle_sparse_bad_detect, 1,
+    _BASE.with_(block_size=5), "single-image keypoints + oriented descriptors"))
+
+register(PipelineSpec(
+    "shi_tomasi_bad_sinkhorn", shi_tomasi_bad_sinkhorn_match, 2,
+    _CI.with_(block_size=3), "dense-descriptor two-image matcher"))
+register(PipelineSpec(
+    "shi_tomasi_sparse_bad_sinkhorn", shi_tomasi_sparse_bad_sinkhorn_match,
+    2, _CI.with_(block_size=3), "sparse unoriented matcher"))
+register(PipelineSpec(
+    "shi_tomasi_angle_sparse_bad_sinkhorn",
+    shi_tomasi_angle_sparse_bad_sinkhorn_match, 2,
+    _CI.with_(block_size=5), "rotation-invariant sparse matcher (flagship)"))
+register(PipelineSpec(
+    "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters",
+    shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters, 2,
+    _CI.with_(block_size=5, ratio_threshold=2.0, dustbin_margin=0.3),
+    "flagship matcher + in-graph outlier filters"))
+
+for _name in ("shi_tomasi_sparse_bad_sinkhorn",
+              "shi_tomasi_angle_sparse_bad_sinkhorn",
+              "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters",
+              "shi_tomasi_bad_sinkhorn"):
+    _spec = get(_name)
+    register(PipelineSpec(
+        _name + "_extraction", with_match_extraction(_spec.fn), 2,
+        _spec.defaults, _spec.description + " + mutual-NN match extraction"))

@@ -1,0 +1,218 @@
+"""Shi-Tomasi pipeline family: detect → NMS/top-k → describe → Sinkhorn.
+
+Functional re-design of the reference's composite ``nn.Module`` pipelines
+(`pytorch_model/feature_detection/`, SURVEY.md §2.7). Each pipeline is a pure
+function of ``(config, images)`` with static shapes, built to be wrapped in
+``jax.jit`` (the TPU analogue of "exports to a single ONNX graph").
+
+TPU-first design choices (vs a module-by-module translation):
+
+* **Two images = one batch.** Every two-image matcher stacks (img1, img2) into a
+  single (2B, 1, H, W) batch so the detector/orientation/descriptor stages run
+  once at doubled batch — bigger fused VPU slabs, one compilation, and the
+  split costs nothing (XLA slices are views). The reference calls its detector
+  twice sequentially (`shi_tomasi_angle_sparse_bad_sinkhorn.py:154-157`).
+* **Separable stencils everywhere** (see ``ops/filters.py``) instead of the
+  reference's multi-channel conv2d tricks.
+* **Config as a frozen dataclass** (hashable → static under jit) instead of
+  20-kwarg module constructors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MatcherConfig
+from ..ops import (
+    shi_tomasi_score,
+    angle_estimation,
+    nms_maxpool,
+    select_topk_keypoints,
+    load_bad_params,
+    dense_bad,
+    sparse_bad,
+    extract_descriptors_at_keypoints_subpixel,
+    sinkhorn_match,
+    sinkhorn_match_with_filters,
+)
+
+
+def _resolve_border_margin(cfg: MatcherConfig, sparse: bool) -> int:
+    """None → descriptor max radius for sparse pipelines (the descriptor needs a
+    valid (2r+1)^2 box at every sampled offset, `shi_tomasi_sparse_bad_sinkhorn
+    .py:121-124`); dense pipelines keep the reference's no-margin default."""
+    if cfg.border_margin is not None:
+        return cfg.border_margin
+    return load_bad_params(cfg.num_pairs).max_radius if sparse else 0
+
+
+def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
+    scores = scores_b1hw[:, 0]
+    mask = nms_maxpool(scores, cfg.nms_radius)
+    return select_topk_keypoints(scores, mask, cfg.max_keypoints,
+                                 cfg.score_threshold, margin)
+
+
+# ---------------------------------------------------------------------------
+# Single-image detectors (the reference's exportable detector heads)
+# ---------------------------------------------------------------------------
+
+def shi_tomasi_bad_detect(image: jax.Array, cfg: MatcherConfig):
+    """Dense detector head: Shi-Tomasi score map ∥ dense BAD descriptor map.
+
+    Parity: `feature_detection/shi_tomasi_bad.py:20-89`.
+
+    Returns:
+        scores (B, 1, H, W), descriptor map (B, P, H, W).
+    """
+    scores = shi_tomasi_score(image, block_size=cfg.block_size)
+    desc_map = dense_bad(image, load_bad_params(cfg.num_pairs),
+                         binarize=cfg.binarize, soft_binarize=cfg.soft_binarize,
+                         temperature=cfg.temperature)
+    return scores, desc_map
+
+
+def shi_tomasi_with_angle(image: jax.Array, cfg: MatcherConfig):
+    """Score + orientation maps, AKAZE-compatible interface.
+
+    Parity: `feature_detection/shi_tomasi_angle.py:23-98`.
+    """
+    scores = shi_tomasi_score(image, block_size=cfg.block_size)
+    angles = angle_estimation(image, patch_size=cfg.patch_size, sigma=cfg.sigma)
+    return scores, angles
+
+
+def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
+    """Single-image keypoints + oriented sparse descriptors (export variant).
+
+    Parity: `feature_detection/shi_tomasi_angle.py:246-356`.
+
+    Returns:
+        keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
+    """
+    scores, angles = shi_tomasi_with_angle(image, cfg)
+    margin = _resolve_border_margin(cfg, sparse=True)
+    kpts, kscores = _select_keypoints(scores, cfg, margin)
+    desc = sparse_bad(image, kpts, load_bad_params(cfg.num_pairs),
+                      orientation=angles, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode=cfg.sampling_mode)
+    return kpts, kscores, desc
+
+
+# ---------------------------------------------------------------------------
+# Two-image matchers
+# ---------------------------------------------------------------------------
+
+def _stack_pair(image1: jax.Array, image2: jax.Array) -> jax.Array:
+    return jnp.concatenate([image1, image2], axis=0)  # (2B, 1, H, W)
+
+
+def _split_pair(x: jax.Array):
+    b = x.shape[0] // 2
+    return x[:b], x[b:]
+
+
+def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
+                                  cfg: MatcherConfig):
+    """Dense-descriptor matcher: ShiTomasi+BAD maps → NMS/top-k → sub-pixel
+    descriptor extraction (invalid → zero) → optional L2 norm → Sinkhorn.
+
+    Parity: `feature_detection/shi_tomasi_bad_sinkhorn.py:23-219`.
+
+    Returns:
+        keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
+    """
+    both = _stack_pair(image1, image2)
+    scores, desc_map = shi_tomasi_bad_detect(both, cfg)
+    margin = _resolve_border_margin(cfg, sparse=False)
+    kpts, _ = _select_keypoints(scores, cfg, margin)
+
+    h, w = both.shape[-2:]
+    valid = (kpts[:, :, 0] >= 0).astype(desc_map.dtype)  # (2B, K)
+    kc = jnp.stack([jnp.clip(kpts[:, :, 0], 0.0, float(h - 1)),
+                    jnp.clip(kpts[:, :, 1], 0.0, float(w - 1))], axis=-1)
+    desc = extract_descriptors_at_keypoints_subpixel(desc_map, kc)
+    desc = desc * valid[..., None]
+    if cfg.normalize_descriptors:
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+
+    kpts1, kpts2 = _split_pair(kpts)
+    desc1, desc2 = _split_pair(desc)
+    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
+                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
+                           distance_type=cfg.distance_type)
+    return kpts1, kpts2, probs
+
+
+def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
+                            with_angle: bool):
+    """Shared sparse path over a stacked (2B) image batch."""
+    if with_angle:
+        scores, angles = shi_tomasi_with_angle(both, cfg)
+    else:
+        scores = shi_tomasi_score(both, block_size=cfg.block_size)
+        angles = None
+    margin = _resolve_border_margin(cfg, sparse=True)
+    kpts, _ = _select_keypoints(scores, cfg, margin)
+    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
+                      orientation=angles, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode=cfg.sampling_mode)
+    return kpts, desc
+
+
+def shi_tomasi_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
+                                         cfg: MatcherConfig):
+    """Sparse unoriented matcher.
+
+    Parity: `feature_detection/shi_tomasi_sparse_bad_sinkhorn.py:27-182`.
+    """
+    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                         with_angle=False)
+    kpts1, kpts2 = _split_pair(kpts)
+    desc1, desc2 = _split_pair(desc)
+    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
+                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
+                           distance_type=cfg.distance_type)
+    return kpts1, kpts2, probs
+
+
+def shi_tomasi_angle_sparse_bad_sinkhorn_match(image1: jax.Array,
+                                               image2: jax.Array,
+                                               cfg: MatcherConfig):
+    """Rotation-invariant sparse matcher (the flagship pipeline).
+
+    Parity: `feature_detection/shi_tomasi_angle_sparse_bad_sinkhorn.py:26-180`.
+    """
+    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                         with_angle=True)
+    kpts1, kpts2 = _split_pair(kpts)
+    desc1, desc2 = _split_pair(desc)
+    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
+                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
+                           distance_type=cfg.distance_type)
+    return kpts1, kpts2, probs
+
+
+def shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters(
+        image1: jax.Array, image2: jax.Array, cfg: MatcherConfig):
+    """Flagship matcher + in-graph ratio/dustbin outlier filters.
+
+    Parity: `feature_detection/shi_tomasi_angle_sparse_bad_sinkhorn.py:183-340`.
+
+    Returns:
+        keypoints1, keypoints2, P_filtered (B, K+1, K+1), valid_mask (B, K).
+    """
+    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                         with_angle=True)
+    kpts1, kpts2 = _split_pair(kpts)
+    desc1, desc2 = _split_pair(desc)
+    probs, valid = sinkhorn_match_with_filters(
+        desc1, desc2, iterations=cfg.sinkhorn_iterations, epsilon=cfg.epsilon,
+        unused_score=cfg.unused_score, distance_type=cfg.distance_type,
+        ratio_threshold=cfg.ratio_threshold, dustbin_margin=cfg.dustbin_margin)
+    return kpts1, kpts2, probs, valid

@@ -1,0 +1,154 @@
+"""End-to-end differential tests: composite pipelines vs reference nn.Modules.
+
+House idiom (SURVEY.md §4): run both implementations on the same inputs and
+compare. Keypoints are compared as exact (y, x) rows where scores are distinct
+(torch.topk vs lax.top_k tie order may differ — SURVEY.md §7), probabilities
+to a small tolerance on rows whose keypoints agree.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax.numpy as jnp
+
+from onnx_image_processing_tpu.core import MatcherConfig
+from onnx_image_processing_tpu import models
+
+
+def _to_torch(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x))
+
+
+def _kpt_set(kpts_row):
+    return {tuple(p) for p in np.asarray(kpts_row).tolist()}
+
+
+@requires_reference
+def test_shi_tomasi_bad_detector_parity(gray_image):
+    import torch
+    from pytorch_model.feature_detection import ShiTomasiBADDetector
+
+    ref = ShiTomasiBADDetector(block_size=3, num_pairs=256)
+    with torch.no_grad():
+        s_e, d_e = ref(_to_torch(gray_image))
+
+    cfg = MatcherConfig(block_size=3, num_pairs=256)
+    s, d = models.shi_tomasi_bad_detect(jnp.asarray(gray_image), cfg)
+    np.testing.assert_allclose(np.asarray(s), s_e.numpy(), atol=1e-2, rtol=1e-4)
+    # Descriptor-map tolerance bounded by the reference's f32 integral-image
+    # error (~0.1 at this size; exact-parity case covered by test_bad_parity's
+    # float64 oracle).
+    np.testing.assert_allclose(np.asarray(d), d_e.numpy(), atol=0.15, rtol=1e-4)
+
+
+@requires_reference
+@pytest.mark.parametrize("name,ref_cls_name,n_out", [
+    ("shi_tomasi_sparse_bad_sinkhorn", "ShiTomasiSparseBADSinkhornMatcher", 3),
+    ("shi_tomasi_angle_sparse_bad_sinkhorn", "ShiTomasiAngleSparseBADSinkhornMatcher", 3),
+])
+def test_sparse_matcher_parity(gray_image_pair, name, ref_cls_name, n_out):
+    import torch
+    import pytorch_model.feature_detection as ref_fd
+    import pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn as ref_angle
+
+    img1, img2 = gray_image_pair
+    k = 128
+    ref_cls = getattr(ref_fd, ref_cls_name, None) or getattr(ref_angle, ref_cls_name)
+    ref = ref_cls(max_keypoints=k, num_pairs=256)
+    with torch.no_grad():
+        out_e = ref(_to_torch(img1), _to_torch(img2))
+
+    # Reference modules built with *constructor* defaults; mirror them exactly
+    # (the registry's own defaults follow the export-script defaults instead).
+    block = 5 if "angle" in name else 3
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256, block_size=block)
+    fn = models.build(name, cfg)
+    out = fn(jnp.asarray(img1), jnp.asarray(img2))
+
+    assert len(out) == n_out
+    k1, k2, p = (np.asarray(o) for o in out[:3])
+    k1_e, k2_e, p_e = (o.numpy() for o in out_e[:3])
+
+    # Keypoint sets must agree (ordering may differ at score ties).
+    assert _kpt_set(k1[0]) == _kpt_set(k1_e[0])
+    assert _kpt_set(k2[0]) == _kpt_set(k2_e[0])
+
+    # Where ordering agrees exactly, the probability matrix must too.
+    if (k1 == k1_e).all() and (k2 == k2_e).all():
+        np.testing.assert_allclose(p, p_e, atol=2e-3)
+    # Marginal structure always holds.
+    assert p.shape == (1, k + 1, k + 1)
+    np.testing.assert_allclose(p[0].sum(), 2 * k, rtol=1e-2)
+
+
+@requires_reference
+def test_with_filters_matcher_parity(gray_image_pair):
+    import torch
+    from pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn import (
+        ShiTomasiAngleSparseBADSinkhornMatcherWithFilters,
+    )
+
+    img1, img2 = gray_image_pair
+    k = 128
+    ref = ShiTomasiAngleSparseBADSinkhornMatcherWithFilters(
+        max_keypoints=k, num_pairs=256, ratio_threshold=2.0, dustbin_margin=0.3)
+    with torch.no_grad():
+        k1_e, k2_e, p_e, v_e = ref(_to_torch(img1), _to_torch(img2))
+
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256, block_size=5,
+                        ratio_threshold=2.0, dustbin_margin=0.3)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn_with_filters", cfg)
+    k1, k2, p, v = fn(jnp.asarray(img1), jnp.asarray(img2))
+
+    assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
+    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
+        # Valid masks may flip near filter thresholds; demand near-total agreement.
+        assert (np.asarray(v) == v_e.numpy()).mean() > 0.98
+
+
+def test_extraction_wrapper_shapes(gray_image_pair):
+    img1, img2 = gray_image_pair
+    cfg = MatcherConfig(max_keypoints=64, num_pairs=256, max_matches=32,
+                        match_threshold=0.05, block_size=5)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn_extraction", cfg)
+    mk1, mk2, s, v = fn(jnp.asarray(img1), jnp.asarray(img2))
+    assert mk1.shape == (1, 32, 2) and mk2.shape == (1, 32, 2)
+    assert s.shape == (1, 32) and v.shape == (1, 32)
+    s, v = np.asarray(s), np.asarray(v)
+    # Scores sorted descending; invalid entries have zero/negative score.
+    assert (np.diff(s[0]) <= 1e-7).all()
+    assert (s[0][v[0]] >= 0.05 - 1e-6).all()
+
+
+def test_registry_compile_check():
+    """Analogue of the reference CI's onnx.checker pass over every registry
+    model (`.github/workflows/onnx-export.yml:35-97`): every registered
+    pipeline must AOT-lower and compile at a small static shape."""
+    for name in models.names():
+        spec = models.get(name)
+        cfg = spec.defaults.with_(max_keypoints=32, max_matches=16)
+        compiled = models.compile_model(name, height=64, width=80, cfg=cfg)
+        assert compiled is not None
+
+
+def test_matcher_is_rotation_sensitive_vs_invariant(gray_image):
+    """Property: the angle-aware descriptor matches a rotated copy better than
+    the unoriented one (rotation invariance of oriented BAD)."""
+    img = np.asarray(gray_image)
+    rot = np.rot90(img[0, 0]).copy()[None, None]  # 90° rotation
+    h = min(img.shape[2], rot.shape[2])
+    w = min(img.shape[3], rot.shape[3])
+    a, b = img[:, :, :h, :w], rot[:, :, :h, :w]
+
+    cfg = MatcherConfig(max_keypoints=64, num_pairs=256, block_size=5)
+    f_angle = models.build("shi_tomasi_angle_sparse_bad_sinkhorn", cfg)
+    f_plain = models.build("shi_tomasi_sparse_bad_sinkhorn", cfg)
+    _, _, p_angle = f_angle(jnp.asarray(a), jnp.asarray(b))
+    _, _, p_plain = f_plain(jnp.asarray(a), jnp.asarray(b))
+    conf_angle = np.asarray(p_angle)[0, :-1, :-1].max(axis=1).mean()
+    conf_plain = np.asarray(p_plain)[0, :-1, :-1].max(axis=1).mean()
+    assert conf_angle > conf_plain
