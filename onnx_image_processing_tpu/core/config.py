@@ -14,6 +14,24 @@ from dataclasses import dataclass, replace, fields
 
 
 @dataclass(frozen=True)
+class AKAZEConfig:
+    """AKAZE detector hyperparameters; defaults mirror the reference module
+    constructor (`pytorch_model/detector/akaze.py:348-357`), which the export
+    scripts also use (`onnx_export/export_akaze.py:50-86`)."""
+
+    num_scales: int = 3
+    diffusion_iterations: int = 3
+    kappa: float = 0.05
+    threshold: float = 0.001
+    nms_size: int = 5
+    orientation_patch_size: int = 15
+    orientation_sigma: float = 2.5
+
+    def with_(self, **kwargs) -> "AKAZEConfig":
+        return replace(self, **kwargs)
+
+
+@dataclass(frozen=True)
 class MatcherConfig:
     """Configuration shared by every detector → descriptor → Sinkhorn pipeline.
 
@@ -60,6 +78,9 @@ class MatcherConfig:
     max_matches: int = 100
     match_threshold: float = 0.1
 
+    # AKAZE detector (used by the AKAZE pipeline family only)
+    akaze: AKAZEConfig = AKAZEConfig()
+
     def with_(self, **kwargs) -> "MatcherConfig":
         return replace(self, **kwargs)
 
@@ -68,22 +89,6 @@ class MatcherConfig:
         """Build from a flat kwarg dict, ignoring unknown keys (CLI-friendly)."""
         names = {f.name for f in fields(cls)}
         return cls(**{k: v for k, v in kwargs.items() if k in names and v is not None})
-
-
-@dataclass(frozen=True)
-class AKAZEConfig:
-    """AKAZE detector hyperparameters (`pytorch_model/detector/akaze.py:318-380`)."""
-
-    num_scales: int = 4
-    diffusion_iterations: int = 10
-    kappa: float = 0.01
-    detector_threshold: float = 0.001
-    nms_radius: int = 2
-    patch_size: int = 15
-    orientation_sigma: float = 2.5
-
-    def with_(self, **kwargs) -> "AKAZEConfig":
-        return replace(self, **kwargs)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,59 @@
+"""AKAZE pipeline family: AKAZE detect → NMS/top-k → oriented SparseBAD → Sinkhorn.
+
+Functional re-design of `pytorch_model/feature_detection/akaze_sparse_bad_sinkhorn
+.py:27-196`. Shares the stacked-pair batching and keypoint-selection helpers with
+the Shi-Tomasi family; descriptors sample the AKAZE orientation map at keypoints
+and rotate BAD pair offsets (SparseBAD oriented mode).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..core.config import MatcherConfig
+from ..ops import akaze_detect, load_bad_params, sparse_bad, sinkhorn_match
+from .shi_tomasi_family import (
+    _resolve_border_margin,
+    _select_keypoints,
+    _stack_pair,
+    _split_pair,
+)
+
+
+def akaze_detect_cfg(image: jax.Array, cfg: MatcherConfig):
+    """AKAZE scores + orientations under a pipeline config."""
+    a = cfg.akaze
+    return akaze_detect(
+        image, num_scales=a.num_scales,
+        diffusion_iterations=a.diffusion_iterations, kappa=a.kappa,
+        threshold=a.threshold, nms_size=a.nms_size,
+        orientation_patch_size=a.orientation_patch_size,
+        orientation_sigma=a.orientation_sigma)
+
+
+def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
+                                    cfg: MatcherConfig):
+    """AKAZE two-image matcher.
+
+    Note the descriptor samples the ORIGINAL image (not the diffused scale);
+    only the orientation comes from AKAZE — matching the reference wiring
+    (`akaze_sparse_bad_sinkhorn.py:190-192`).
+
+    Returns:
+        keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
+    """
+    both = _stack_pair(image1, image2)
+    scores, orient = akaze_detect_cfg(both, cfg)
+    margin = _resolve_border_margin(cfg, sparse=True)
+    kpts, _ = _select_keypoints(scores, cfg, margin)
+    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
+                      orientation=orient, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode=cfg.sampling_mode)
+    kpts1, kpts2 = _split_pair(kpts)
+    desc1, desc2 = _split_pair(desc)
+    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
+                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
+                           distance_type=cfg.distance_type)
+    return kpts1, kpts2, probs

@@ -29,6 +29,7 @@ from .shi_tomasi_family import (
     shi_tomasi_angle_sparse_bad_sinkhorn_match,
     shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters,
 )
+from .akaze_family import akaze_detect_cfg, akaze_sparse_bad_sinkhorn_match
 from .extraction import with_match_extraction
 
 
@@ -131,10 +132,22 @@ register(PipelineSpec(
     _CI.with_(block_size=5, ratio_threshold=2.0, dustbin_margin=0.3),
     "flagship matcher + in-graph outlier filters"))
 
+register(PipelineSpec(
+    "akaze", akaze_detect_cfg, 1, _BASE,
+    "AKAZE scores + orientation maps"))
+# AKAZE matcher export defaults: binarization "none", eps 0.05, nms radius 3
+# (`onnx_export/export_akaze_sparse_bad_sinkhorn.py:103-167`); export.py adds
+# 512 pairs / 1024 kpts.
+register(PipelineSpec(
+    "akaze_sparse_bad_sinkhorn", akaze_sparse_bad_sinkhorn_match, 2,
+    MatcherConfig(num_pairs=512, max_keypoints=1024, epsilon=0.05, nms_radius=3),
+    "AKAZE rotation-invariant sparse matcher"))
+
 for _name in ("shi_tomasi_sparse_bad_sinkhorn",
               "shi_tomasi_angle_sparse_bad_sinkhorn",
               "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters",
-              "shi_tomasi_bad_sinkhorn"):
+              "shi_tomasi_bad_sinkhorn",
+              "akaze_sparse_bad_sinkhorn"):
     _spec = get(_name)
     register(PipelineSpec(
         _name + "_extraction", with_match_extraction(_spec.fn), 2,

@@ -6,6 +6,9 @@ orientation,matching,utils,threshold,depth,pointcloud}`` nn.Module zoo
 """
 
 from .shi_tomasi import shi_tomasi_score
+from .fast import fast_score
+from .dog import dog_responses, dog_score
+from .akaze import nonlinear_diffusion, hessian_score, akaze_detect
 from .orientation import angle_estimation, angle_estimation_multiscale
 from .keypoints import nms_maxpool, select_topk_keypoints
 from .bad import (
@@ -28,6 +31,12 @@ from .outlier_filters import probability_ratio_filter, dustbin_margin_filter
 
 __all__ = [
     "shi_tomasi_score",
+    "fast_score",
+    "dog_responses",
+    "dog_score",
+    "nonlinear_diffusion",
+    "hessian_score",
+    "akaze_detect",
     "angle_estimation",
     "angle_estimation_multiscale",
     "nms_maxpool",

@@ -1,0 +1,160 @@
+"""AKAZE feature detector: FED nonlinear diffusion + Hessian + orientation.
+
+TPU-native re-design of `pytorch_model/detector/akaze.py`:
+
+* Every 3x3 kernel in the pipeline (Sobel/8 for diffusion, Lxx/Lyy/Lxy
+  second-derivative kernels, divergence) is a separable outer product, so each
+  becomes two 1-D shift-and-add passes over (B, H, W) slabs (``ops/filters.py``)
+  instead of the reference's fused multi-channel convs
+  (`akaze.py:50-66,153-171`).
+* The FED update runs as a ``lax.fori_loop`` (traced once) rather than a
+  Python-unrolled graph (`akaze.py:111-129`) — identical numerics, smaller
+  XLA program.
+* Scale-max score/orientation selection keeps the reference's branch-free
+  tie-normalized mask select (`akaze.py:436-451`).
+
+All convolutions here use ZERO padding to match ``F.conv2d(padding=1)``
+semantics in the reference (unlike Shi-Tomasi, which replicate-pads).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import pad2d, conv1d_h, conv1d_w, maxpool2d_same, gaussian_taps
+
+# Separable factors of the reference kernels.
+_S121 = np.array([1.0, 2.0, 1.0], dtype=np.float32)
+_D101 = np.array([-1.0, 0.0, 1.0], dtype=np.float32)   # derivative
+_L121 = np.array([1.0, -2.0, 1.0], dtype=np.float32)   # second derivative
+_XY = np.array([1.0, 0.0, -1.0], dtype=np.float32)
+
+
+def _conv3_zero(x: jax.Array, col, row, scale: float) -> jax.Array:
+    """Zero-padded separable 3x3 cross-correlation (F.conv2d(padding=1))."""
+    xp = pad2d(x, 1, 1, mode="zero")
+    return conv1d_w(conv1d_h(xp, col), row) * scale
+
+
+def _sobel_x(x: jax.Array) -> jax.Array:
+    # [[-1,0,1],[-2,0,2],[-1,0,1]]/8 = outer([1,2,1], [-1,0,1])/8
+    return _conv3_zero(x, _S121, _D101, 1.0 / 8.0)
+
+
+def _sobel_y(x: jax.Array) -> jax.Array:
+    return _conv3_zero(x, _D101, _S121, 1.0 / 8.0)
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "kappa"))
+def nonlinear_diffusion(image: jax.Array, num_iterations: int = 3,
+                        kappa: float = 0.05) -> jax.Array:
+    """Perona-Malik g2 diffusion, FED explicit steps with dt = 0.25.
+
+    L += dt * div(c(|grad L|) * grad L), c = 1 / (1 + (|grad|/kappa)^2).
+    Parity: `pytorch_model/detector/akaze.py:25-131`.
+
+    Args:
+        image: (B, 1, H, W).
+
+    Returns:
+        (B, 1, H, W) diffused image.
+    """
+    x = image.astype(jnp.float32)[:, 0]
+    dt = 0.25
+    inv_k2 = 1.0 / (kappa * kappa)
+
+    def step(_, l):
+        gx = _sobel_x(l)
+        gy = _sobel_y(l)
+        mag2 = gx * gx + gy * gy + 1e-8
+        c = 1.0 / (1.0 + mag2 * inv_k2)
+        # divergence of (c*gx, c*gy) with the same zero-padded Sobel stencils
+        div = _sobel_x(c * gx) + _sobel_y(c * gy)
+        return l + dt * div
+
+    out = jax.lax.fori_loop(0, num_iterations, step, x)
+    return out[:, None]
+
+
+def hessian_score(image: jax.Array, threshold: float = 0.001,
+                  nms_size: int = 5) -> jax.Array:
+    """det(Hessian) score with in-place maxpool NMS and threshold mask.
+
+    Parity: `pytorch_model/detector/akaze.py:134-254` (zero-padded 3x3 second
+    derivative kernels, zero-padded max-pool equality NMS, clamp >= 0).
+
+    Args:
+        image: (B, 1, H, W) (typically a diffused scale).
+
+    Returns:
+        (B, 1, H, W) masked score map.
+    """
+    x = image.astype(jnp.float32)[:, 0]
+    # Lxx = outer([1,2,1],[1,-2,1])/16; Lyy = outer([1,-2,1],[1,2,1])/16;
+    # Lxy = outer([1,0,-1],[1,0,-1])/4.
+    lxx = _conv3_zero(x, _S121, _L121, 1.0 / 16.0)
+    lyy = _conv3_zero(x, _L121, _S121, 1.0 / 16.0)
+    lxy = _conv3_zero(x, _XY, _XY, 1.0 / 4.0)
+    response = lxx * lyy - lxy * lxy
+
+    local_max = maxpool2d_same(response, nms_size // 2, pad_mode="zero")
+    mask = (response == local_max) & (response > threshold)
+    return jnp.maximum(response * mask.astype(response.dtype), 0.0)[:, None]
+
+
+def _orientation_zero(image_bhw: jax.Array, patch_size: int, sigma: float) -> jax.Array:
+    """Gaussian-weighted first-moment orientation (zero padding), on (B, H, W)."""
+    half = patch_size // 2
+    g = gaussian_taps(sigma, patch_size)
+    t = np.arange(-half, half + 1, dtype=np.float32)
+    tg = (t * g).astype(np.float32)
+    xp = pad2d(image_bhw, half, half, mode="zero")
+    m10 = conv1d_w(conv1d_h(xp, g), tg)
+    m01 = conv1d_w(conv1d_h(xp, tg), g)
+    return jnp.arctan2(m01, m10)
+
+
+@partial(jax.jit, static_argnames=(
+    "num_scales", "diffusion_iterations", "kappa", "threshold", "nms_size",
+    "orientation_patch_size", "orientation_sigma"))
+def akaze_detect(
+    image: jax.Array,
+    num_scales: int = 3,
+    diffusion_iterations: int = 3,
+    kappa: float = 0.05,
+    threshold: float = 0.001,
+    nms_size: int = 5,
+    orientation_patch_size: int = 15,
+    orientation_sigma: float = 2.5,
+) -> tuple[jax.Array, jax.Array]:
+    """Full AKAZE: per-scale diffusion → Hessian detect → orientation; scores
+    are the per-pixel max over scales, orientations are mask-selected from the
+    argmax scale with tie normalization (branch-free).
+
+    Parity: `pytorch_model/detector/akaze.py:318-453`. Interface matches
+    Shi-Tomasi + angle: returns ((B, 1, H, W) scores, (B, 1, H, W) radians).
+    """
+    current = image.astype(jnp.float32)
+    scores_list = []
+    orient_list = []
+    for _ in range(num_scales):
+        current = nonlinear_diffusion(current, num_iterations=diffusion_iterations,
+                                      kappa=kappa)
+        scores_list.append(hessian_score(current, threshold=threshold,
+                                         nms_size=nms_size)[:, 0])
+        orient_list.append(_orientation_zero(current[:, 0],
+                                             orientation_patch_size,
+                                             orientation_sigma))
+
+    all_scores = jnp.stack(scores_list, axis=0)      # (S, B, H, W)
+    all_orients = jnp.stack(orient_list, axis=0)
+    scores = jnp.max(all_scores, axis=0)
+
+    mask = (all_scores == scores[None]).astype(jnp.float32)
+    mask = mask / jnp.maximum(mask.sum(axis=0, keepdims=True), 1.0)
+    orientations = (all_orients * mask).sum(axis=0)
+    return scores[:, None], orientations[:, None]

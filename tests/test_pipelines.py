@@ -152,3 +152,26 @@ def test_matcher_is_rotation_sensitive_vs_invariant(gray_image):
     conf_angle = np.asarray(p_angle)[0, :-1, :-1].max(axis=1).mean()
     conf_plain = np.asarray(p_plain)[0, :-1, :-1].max(axis=1).mean()
     assert conf_angle > conf_plain
+
+
+@requires_reference
+def test_akaze_matcher_parity(gray_image_pair):
+    import torch
+    from pytorch_model.feature_detection.akaze_sparse_bad_sinkhorn import (
+        AKAZESparseBADSinkhornMatcher,
+    )
+
+    img1, img2 = gray_image_pair
+    k = 128
+    ref = AKAZESparseBADSinkhornMatcher(max_keypoints=k, num_pairs=256)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = ref(_to_torch(img1), _to_torch(img2))
+
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256)
+    fn = models.build("akaze_sparse_bad_sinkhorn", cfg)
+    k1, k2, p = fn(jnp.asarray(img1), jnp.asarray(img2))
+
+    assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
+    assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
+    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
+        np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
