@@ -11,6 +11,11 @@ from .shi_tomasi_family import (
     shi_tomasi_angle_sparse_bad_sinkhorn_match,
     shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters,
 )
+from .akaze_family import akaze_detect_cfg, akaze_sparse_bad_sinkhorn_match
+from .essential_family import (
+    shi_tomasi_angle_sparse_bad_sinkhorn_essential_match,
+    akaze_sparse_bad_sinkhorn_essential_match,
+)
 from .extraction import with_match_extraction
 from .registry import PipelineSpec, register, names, get, build, compile_model
 
@@ -22,6 +27,10 @@ __all__ = [
     "shi_tomasi_sparse_bad_sinkhorn_match",
     "shi_tomasi_angle_sparse_bad_sinkhorn_match",
     "shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters",
+    "akaze_detect_cfg",
+    "akaze_sparse_bad_sinkhorn_match",
+    "shi_tomasi_angle_sparse_bad_sinkhorn_essential_match",
+    "akaze_sparse_bad_sinkhorn_essential_match",
     "with_match_extraction",
     "PipelineSpec",
     "register",

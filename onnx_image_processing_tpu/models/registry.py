@@ -30,16 +30,21 @@ from .shi_tomasi_family import (
     shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters,
 )
 from .akaze_family import akaze_detect_cfg, akaze_sparse_bad_sinkhorn_match
+from .essential_family import (
+    shi_tomasi_angle_sparse_bad_sinkhorn_essential_match,
+    akaze_sparse_bad_sinkhorn_essential_match,
+)
 from .extraction import with_match_extraction
 
 
 @dataclass(frozen=True)
 class PipelineSpec:
     name: str
-    fn: Callable            # fn(*images, cfg) -> outputs
+    fn: Callable            # fn(*images[, k_inv], cfg) -> outputs
     n_images: int           # 1 or 2
     defaults: MatcherConfig
     description: str = ""
+    takes_k_inv: bool = False  # essential-matrix pipelines take a (3,3) K^-1
 
 
 _REGISTRY: dict[str, PipelineSpec] = {}
@@ -85,6 +90,8 @@ def compile_model(name: str, height: int, width: int, batch: int = 1,
     fn = build(name, cfg, **overrides)
     args = [jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
             for _ in range(spec.n_images)]
+    if spec.takes_k_inv:
+        args.append(jax.ShapeDtypeStruct((3, 3), jnp.float32))
     return fn.lower(*args).compile()
 
 
@@ -142,6 +149,17 @@ register(PipelineSpec(
     "akaze_sparse_bad_sinkhorn", akaze_sparse_bad_sinkhorn_match, 2,
     MatcherConfig(num_pairs=512, max_keypoints=1024, epsilon=0.05, nms_radius=3),
     "AKAZE rotation-invariant sparse matcher"))
+
+register(PipelineSpec(
+    "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
+    shi_tomasi_angle_sparse_bad_sinkhorn_essential_match, 2,
+    _CI.with_(block_size=5), "flagship matcher + in-graph essential matrix",
+    takes_k_inv=True))
+register(PipelineSpec(
+    "akaze_sparse_bad_sinkhorn_essential_matrix",
+    akaze_sparse_bad_sinkhorn_essential_match, 2,
+    MatcherConfig(num_pairs=512, max_keypoints=1024, epsilon=0.05, nms_radius=3),
+    "AKAZE matcher + in-graph essential matrix", takes_k_inv=True))
 
 for _name in ("shi_tomasi_sparse_bad_sinkhorn",
               "shi_tomasi_angle_sparse_bad_sinkhorn",

@@ -175,3 +175,19 @@ def test_akaze_matcher_parity(gray_image_pair):
     assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
     if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
         np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
+
+
+def test_essential_pipeline_outputs(gray_image_pair):
+    """4-output fused pipeline: matcher outputs + rank-2 E (BASELINE config #5)."""
+    img1, img2 = gray_image_pair
+    cfg = MatcherConfig(max_keypoints=64, num_pairs=256, block_size=5)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix", cfg)
+    k_inv = jnp.asarray(np.linalg.inv(
+        np.array([[100., 0, 80], [0, 100., 60], [0, 0, 1]], np.float32)))
+    k1, k2, p, e = fn(jnp.asarray(img1), jnp.asarray(img2), k_inv)
+    assert k1.shape == (1, 64, 2) and p.shape == (1, 65, 65)
+    e = np.asarray(e)
+    assert e.shape == (3, 3)
+    s = np.linalg.svd(e, compute_uv=False)
+    assert s[2] < 1e-4 * max(s[0], 1e-12)          # rank 2
+    np.testing.assert_allclose(s[0], s[1], rtol=1e-3)  # sigma1 == sigma2
