@@ -28,6 +28,13 @@ from .sinkhorn import (
 )
 from .match_extraction import extract_mutual_matches
 from .outlier_filters import probability_ratio_filter, dustbin_margin_filter
+from .threshold import otsu_threshold, multi_otsu_threshold
+from .depth import (
+    depth_to_pointcloud,
+    depth_to_pointcloud_with_normal,
+    depth_alignment,
+)
+from .pointcloud import voxel_downsampling
 
 __all__ = [
     "shi_tomasi_score",
@@ -55,4 +62,10 @@ __all__ = [
     "extract_mutual_matches",
     "probability_ratio_filter",
     "dustbin_margin_filter",
+    "otsu_threshold",
+    "multi_otsu_threshold",
+    "depth_to_pointcloud",
+    "depth_to_pointcloud_with_normal",
+    "depth_alignment",
+    "voxel_downsampling",
 ]
