@@ -1,0 +1,71 @@
+"""Single-image feature detection CLI.
+
+Counterpart of `sample/feature_detection.py:302-414`: run a detector pipeline,
+select keypoints on the host (NMS + threshold + top-k + sub-pixel parabola
+refinement), render a visualization. Flags mirror the reference; ``--model``
+takes a registry name instead of an .onnx path.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .. import models
+from ..utils import select_keypoints, visualize_keypoints
+from .common import add_platform_arg, benchmark, load_image, select_platform
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU feature detection sample")
+    p.add_argument("--model", "-m", default="shi_tomasi",
+                   help=f"pipeline name; one of {models.names()}")
+    p.add_argument("--image", "-i", required=True, help="input image path")
+    p.add_argument("--output", "-o", default="keypoints.png",
+                   help="output visualization path")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--threshold", "-t", type=float, default=0.01,
+                   help="minimum keypoint score")
+    p.add_argument("--max-keypoints", "-k", type=int, default=1000)
+    p.add_argument("--nms-radius", type=int, default=3)
+    p.add_argument("--no-subpixel", action="store_true",
+                   help="disable sub-pixel parabola refinement")
+    p.add_argument("--benchmark", action="store_true",
+                   help="print warmup+timed ms/frame")
+    add_platform_arg(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    select_platform(args.platform)
+    import jax.numpy as jnp
+
+    arr, rgb = load_image(args.image, args.height, args.width)
+    fn = models.build(args.model)
+    out = fn(jnp.asarray(arr))
+    scores = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
+
+    if args.benchmark:
+        ms = benchmark(fn, (jnp.asarray(arr),))
+        print(f"Elapsed: {ms:.3f} ms/frame ({1e3 / ms:.1f} fps)")
+
+    kpts = select_keypoints(scores, threshold=args.threshold,
+                            max_keypoints=args.max_keypoints,
+                            nms_radius=args.nms_radius,
+                            subpixel=not args.no_subpixel)
+    print(f"Detected {len(kpts)} keypoints "
+          f"(model={args.model}, threshold={args.threshold})")
+    if len(kpts):
+        print(f"Score range: [{kpts[:, 2].min():.4f}, {kpts[:, 2].max():.4f}]")
+
+    vis = visualize_keypoints(rgb, kpts)
+    vis.save(args.output)
+    print(f"Saved visualization to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,333 @@
+"""Visual-odometry CLI: streaming frame matching → pose → trajectory.
+
+Counterpart of `sample/visual_odometry.py:322-1031`. The robustness state
+machine is ported as-is (it is pure host logic, SURVEY.md §5): insufficient-
+match skip, stationary-camera gating by RMS optical flow with reference-frame
+aging and forced refresh, and inlier-ratio pose rejection. Pipelines with 4
+outputs provide the essential matrix in-graph (no RANSAC in the loop); pose
+sign/chirality is still resolved on the host with recoverPose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+from .. import models
+from ..utils import extract_matches
+from ..vo import (
+    CameraIntrinsics,
+    Trajectory,
+    create_camera,
+    estimate_pose_ransac,
+    recover_pose,
+)
+from .common import add_platform_arg, load_image_from_array, select_platform
+
+
+class VideoReader:
+    """Uniform frame source over video file / image directory / camera.
+
+    Parity: `sample/visual_odometry.py:322-421`.
+    """
+
+    def __init__(self, source: str, camera_type: str = "opencv",
+                 camera_id: int = 0):
+        self.is_camera = source == "camera"
+        self.camera = None
+        self._cap = None
+        self._files: list[str] = []
+        self._idx = 0
+        if self.is_camera:
+            self.camera = create_camera(camera_type, device_id=camera_id) \
+                if camera_type == "opencv" else create_camera(camera_type)
+            if not self.camera.open():
+                raise RuntimeError(f"failed to open camera {camera_type}")
+            self.total_frames = float("inf")
+        elif os.path.isdir(source):
+            exts = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+            for e in exts:
+                self._files.extend(glob.glob(os.path.join(source, e)))
+            self._files.sort()
+            if not self._files:
+                raise RuntimeError(f"no images found in {source}")
+            self.total_frames = len(self._files)
+        else:
+            import cv2
+
+            self._cap = cv2.VideoCapture(source)
+            if not self._cap.isOpened():
+                raise RuntimeError(f"failed to open video {source}")
+            self.total_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)) \
+                or float("inf")
+
+    def read(self):
+        if self.camera is not None:
+            return self.camera.read()
+        if self._cap is not None:
+            return self._cap.read()
+        if self._idx >= len(self._files):
+            return False, None
+        import cv2
+
+        frame = cv2.imread(self._files[self._idx])
+        self._idx += 1
+        return frame is not None, frame
+
+    def release(self):
+        if self.camera is not None:
+            self.camera.release()
+        if self._cap is not None:
+            self._cap.release()
+
+
+def run_visual_odometry(
+    matcher_fn,
+    reader: VideoReader,
+    intrinsics: CameraIntrinsics,
+    model_height: int,
+    model_width: int,
+    has_essential: bool,
+    k_inv=None,
+    match_threshold: float = 0.1,
+    ransac_threshold: float = 1.0,
+    max_matches: int = 100,
+    min_matches: int = 20,
+    min_inlier_ratio: float = 0.5,
+    min_motion_pixels: float = 1.0,
+    max_reference_age: int = 30,
+    skip_frames: int = 1,
+    max_frames: int | None = None,
+    verbose: bool = True,
+    display: bool = False,
+) -> Trajectory:
+    """Frame loop with the reference's gating state machine
+    (`sample/visual_odometry.py:424-693`)."""
+    import jax.numpy as jnp
+
+    trajectory = Trajectory()
+
+    if reader.is_camera:  # let auto-exposure settle
+        for _ in range(10):
+            ok, _ = reader.read()
+            if not ok:
+                break
+
+    ok, prev_frame = reader.read()
+    if not ok:
+        raise RuntimeError("failed to read first frame")
+    prev_image = load_image_from_array(prev_frame, model_height, model_width)
+
+    frame_count = processed = 0
+    total_matches = total_inliers = 0
+    ref_age = 0
+    t_start = time.time()
+
+    while True:
+        ok, curr_frame = reader.read()
+        if not ok:
+            break
+        frame_count += 1
+        if frame_count % (skip_frames + 1) != 0:
+            continue
+        processed += 1
+        if max_frames is not None and processed > max_frames:
+            break
+
+        curr_image = load_image_from_array(curr_frame, model_height, model_width)
+        fn_args = (jnp.asarray(prev_image), jnp.asarray(curr_image))
+        if has_essential:
+            out = matcher_fn(*fn_args, jnp.asarray(k_inv))
+            k1, k2, p, e = (np.asarray(o) for o in out[:4])
+        else:
+            out = matcher_fn(*fn_args)
+            k1, k2, p = (np.asarray(o) for o in out[:3])
+            e = None
+
+        mk1, mk2, _scores = extract_matches(p, k1, k2, threshold=match_threshold,
+                                            max_matches=max_matches)
+        n_matches = len(mk1)
+        total_matches += n_matches
+
+        status = None
+        pose_updated = False
+        n_inliers = 0
+
+        if n_matches < min_matches:
+            status = f"INSUFFICIENT MATCHES ({n_matches}/{min_matches})"
+            if verbose:
+                print(f"Frame {frame_count}: {status}")
+        else:
+            flow = mk2 - mk1
+            rms_flow = float(np.sqrt(np.mean(np.sum(flow ** 2, axis=1))))
+            if rms_flow < min_motion_pixels:
+                # Stationary: let slow motion accumulate; force-refresh the
+                # reference frame once it ages out.
+                ref_age += 1
+                status = f"NO MOTION (rms={rms_flow:.2f}px, age={ref_age})"
+                if verbose:
+                    print(f"Frame {frame_count}: {status}")
+                if ref_age >= max_reference_age:
+                    prev_image = curr_image
+                    ref_age = 0
+                    if verbose:
+                        print("  -> reference frame forced update (age limit)")
+            else:
+                if has_essential:
+                    r, t, inlier_mask = recover_pose(e, mk1, mk2, intrinsics)
+                else:
+                    r, t, inlier_mask = estimate_pose_ransac(
+                        mk1, mk2, intrinsics, ransac_threshold=ransac_threshold)
+                n_inliers = int(inlier_mask.sum())
+                total_inliers += n_inliers
+                ratio = n_inliers / n_matches
+                if r is None or n_inliers < min_matches or ratio < min_inlier_ratio:
+                    status = (f"POSE ESTIMATION FAILED "
+                              f"(inliers={n_inliers}, ratio={ratio:.0%})")
+                    if verbose:
+                        print(f"Frame {frame_count}: {status}")
+                    ref_age += 1
+                else:
+                    trajectory.add_relative_pose(r, t)
+                    pose_updated = True
+                    prev_image = curr_image
+                    ref_age = 0
+                    if verbose and processed % 10 == 0:
+                        fps = processed / (time.time() - t_start)
+                        print(f"Frame {frame_count}/{reader.total_frames}: "
+                              f"matches={n_matches}, inliers={n_inliers}, "
+                              f"position={trajectory.get_current_position()}, "
+                              f"fps={fps:.1f}")
+
+        if display:
+            import cv2
+
+            info = curr_frame.copy()
+            sx = info.shape[1] / model_width
+            sy = info.shape[0] / model_height
+            for (y, x) in mk2:
+                cv2.circle(info, (int(x * sx), int(y * sy)), 2,
+                           (0, 255, 0) if pose_updated else (0, 165, 255), -1)
+            text = status or f"matches={n_matches} inliers={n_inliers}"
+            cv2.putText(info, text, (8, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                        (255, 255, 255), 2)
+            cv2.imshow("Visual Odometry", info)
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
+                break
+            if key == ord("s"):
+                path = f"trajectory_{int(time.time())}.npz"
+                trajectory.save_to_file(path)
+                print(f"trajectory saved to {path}")
+
+    elapsed = time.time() - t_start
+    if verbose:
+        print("\nProcessing complete!")
+        print(f"Total frames: {frame_count}")
+        print(f"Processed frames: {processed}")
+        print(f"Trajectory length: {len(trajectory)} poses")
+        print(f"Average matches: {total_matches / max(1, processed):.1f}")
+        print(f"Average inliers: {total_inliers / max(1, len(trajectory) - 1):.1f}")
+        print(f"Total distance: {trajectory.get_trajectory_length():.2f} meters")
+        print(f"Processing time: {elapsed:.2f} s "
+              f"({processed / max(elapsed, 1e-9):.1f} fps)")
+    return trajectory
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU visual odometry")
+    p.add_argument("--model", "-m",
+                   default="shi_tomasi_angle_sparse_bad_sinkhorn",
+                   help=f"matcher pipeline; one of {models.names()}")
+    p.add_argument("--input", "-i", required=True,
+                   help="video file, image directory, or 'camera'")
+    p.add_argument("--camera-type", default="opencv",
+                   choices=["opencv", "realsense", "orbbec", "oak"])
+    p.add_argument("--camera-id", type=int, default=0)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--fx", type=float, default=None)
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
+    p.add_argument("--match-threshold", type=float, default=0.1)
+    p.add_argument("--ransac-threshold", type=float, default=1.0)
+    p.add_argument("--max-matches", type=int, default=100)
+    p.add_argument("--min-matches", type=int, default=20)
+    p.add_argument("--min-inlier-ratio", type=float, default=0.5)
+    p.add_argument("--min-motion-pixels", type=float, default=1.0)
+    p.add_argument("--max-reference-age", type=int, default=30)
+    p.add_argument("--skip-frames", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--output", "-o", default=None, help="trajectory .npz path")
+    p.add_argument("--plot", default=None, help="trajectory plot .png path")
+    p.add_argument("--display", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    add_platform_arg(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    select_platform(args.platform)
+
+    reader = VideoReader(args.input, args.camera_type, args.camera_id)
+
+    # Intrinsics: manual flags, camera auto-detect, or a default guess —
+    # rescaled to the model resolution (`sample/visual_odometry.py:918-971`).
+    intr = None
+    if args.fx is not None:
+        intr = CameraIntrinsics(args.fx, args.fy or args.fx,
+                                args.cx if args.cx is not None else args.width / 2,
+                                args.cy if args.cy is not None else args.height / 2,
+                                args.width, args.height)
+    elif reader.camera is not None:
+        detected = reader.camera.get_camera_intrinsics()
+        if detected is not None:
+            intr = detected.rescaled(args.width, args.height)
+    if intr is None:
+        intr = CameraIntrinsics(args.width * 0.8, args.width * 0.8,
+                                args.width / 2, args.height / 2,
+                                args.width, args.height)
+        if not args.quiet:
+            print(f"Using default intrinsics: {intr.K[0, 0]:.0f} focal length")
+
+    spec = models.get(args.model)
+    fn = models.build(args.model)
+    try:
+        traj = run_visual_odometry(
+            fn, reader, intr, args.height, args.width,
+            has_essential=spec.takes_k_inv, k_inv=intr.k_inv(),
+            match_threshold=args.match_threshold,
+            ransac_threshold=args.ransac_threshold,
+            max_matches=args.max_matches, min_matches=args.min_matches,
+            min_inlier_ratio=args.min_inlier_ratio,
+            min_motion_pixels=args.min_motion_pixels,
+            max_reference_age=args.max_reference_age,
+            skip_frames=args.skip_frames, max_frames=args.max_frames,
+            verbose=not args.quiet, display=args.display)
+    finally:
+        reader.release()
+
+    if args.output:
+        traj.save_to_file(args.output)
+        print(f"Trajectory saved to {args.output}")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ax = traj.plot_2d()
+        ax.figure.savefig(args.plot, dpi=120)
+        plt.close(ax.figure)
+        print(f"Trajectory plot saved to {args.plot}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,6 +81,11 @@ class MatcherConfig:
     # AKAZE detector (used by the AKAZE pipeline family only)
     akaze: AKAZEConfig = AKAZEConfig()
 
+    # Descriptor sampling backend: None = auto (Pallas kernel on TPU, jnp on
+    # CPU); True/False force it. Set False when running TPU-traced code on a
+    # CPU mesh (e.g. the multichip dry run).
+    use_pallas: bool | None = None
+
     def with_(self, **kwargs) -> "MatcherConfig":
         return replace(self, **kwargs)
 

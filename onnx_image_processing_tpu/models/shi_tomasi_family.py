@@ -98,7 +98,8 @@ def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
                       orientation=angles, binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode=cfg.sampling_mode)
+                      sampling_mode=cfg.sampling_mode,
+                      use_pallas=cfg.use_pallas)
     return kpts, kscores, desc
 
 
@@ -161,7 +162,8 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                       orientation=angles, binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode=cfg.sampling_mode)
+                      sampling_mode=cfg.sampling_mode,
+                      use_pallas=cfg.use_pallas)
     return kpts, desc
 
 

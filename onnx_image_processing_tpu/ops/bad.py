@@ -156,6 +156,22 @@ def dense_bad(
     return _finalize(centered, binarize, soft_binarize, temperature)
 
 
+# Patch geometry for the sparse fast path: learned offsets live in [-16, 15]
+# (32x32 patch rectified around its center), so any rotation keeps |offset| <=
+# 16*sqrt(2) < 23. Patch origins are floored to multiples of 8 (TPU DMA tiling
+# proof), adding up to 7 px of slack, so the window is 23+23+7+1(bilinear) = 54
+# -> 56 (8-aligned) pixels.
+_PATCH_HALF = 23
+_PATCH = 56
+
+
+def _use_pallas_default() -> bool:
+    """Pallas path on TPU-like default devices, jnp path on CPU."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform != "cpu"
+
+
 def sparse_bad(
     image: jax.Array,
     keypoints: jax.Array,
@@ -166,8 +182,18 @@ def sparse_bad(
     temperature: float = 10.0,
     normalize_descriptors: bool = True,
     sampling_mode: str = "nearest",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """BAD descriptors at keypoint locations only.
+
+    TPU-native sampling scheme (replaces the reference's grid_sample gathers,
+    `bad.py:538-551`, which are random-access gathers over the full (R+1, H, W)
+    bank — the single hottest op on TPU): one image patch per keypoint, per-
+    patch box-average banks from tiny valid convolutions, and sampling as
+    two-hot matrix products on the MXU. On TPU the whole stage runs as the
+    fused Pallas kernel ``kernels/sparse_sampler.py`` (patch DMA + in-VMEM
+    one-hots); on CPU an equivalent jnp path is used. Nearest mode uses exact
+    one-hot rows; bilinear mode folds the interpolation weights into the rows.
 
     Args:
         image: (B, 1, H, W) grayscale image.
@@ -177,27 +203,38 @@ def sparse_bad(
         orientation: optional (B, 1, H, W) orientation map; sampled (nearest) at
             keypoints and used to rotate pair offsets (`bad.py:487-517`).
         sampling_mode: 'nearest' (default, reference default) or 'bilinear'.
+        use_pallas: force the Pallas (True) or jnp (False) sampler; None picks
+            by the default device platform.
 
     Returns:
         (B, K, P) descriptors, optionally L2-normalized.
     """
+    from ..kernels.sparse_sampler import reference_box_sample, sparse_box_sample
     if sampling_mode not in ("nearest", "bilinear"):
         raise ValueError(f"sampling_mode must be 'nearest' or 'bilinear', got {sampling_mode}")
     x = image.astype(jnp.float32)[:, 0]
     b, h, w = x.shape
     p = params.num_pairs
     k = keypoints.shape[1]
+    r_max = params.max_radius
+    ps = _PATCH
 
     valid = (keypoints[:, :, 0] >= 0).astype(jnp.float32)  # (B, K)
     ky = jnp.clip(keypoints[:, :, 0], 0.0, float(h - 1))
     kx = jnp.clip(keypoints[:, :, 1], 0.0, float(w - 1))
 
-    bank = box_average_bank(x, params.max_radius)  # (B, R+1, H, W)
+    # Pairs statically sorted by radius: every per-radius group below becomes a
+    # contiguous slice (no fancy-index gathers/scatters in the hot path); the
+    # descriptor is un-permuted once at the end.
+    radii_np = np.asarray(params.radii)
+    order = np.argsort(radii_np, kind="stable")
+    inv_order = jnp.asarray(np.argsort(order).astype(np.int32))
+    radii_sorted = radii_np[order]
 
-    oy1 = jnp.asarray(params.offset_y1)[None, None, :]  # (1, 1, P)
-    ox1 = jnp.asarray(params.offset_x1)[None, None, :]
-    oy2 = jnp.asarray(params.offset_y2)[None, None, :]
-    ox2 = jnp.asarray(params.offset_x2)[None, None, :]
+    oy1 = jnp.asarray(params.offset_y1[order])[None, None, :]  # (1, 1, P)
+    ox1 = jnp.asarray(params.offset_x1[order])[None, None, :]
+    oy2 = jnp.asarray(params.offset_y2[order])[None, None, :]
+    ox2 = jnp.asarray(params.offset_x2[order])[None, None, :]
 
     if orientation is not None:
         theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
@@ -208,18 +245,63 @@ def sparse_bad(
         dy2 = ox2 * sin_t + oy2 * cos_t
         dx2 = ox2 * cos_t - oy2 * sin_t
     else:
-        dy1, dx1, dy2, dx2 = oy1, ox1, oy2, ox2
+        dy1, dx1, dy2, dx2 = (jnp.broadcast_to(v, (b, k, p))
+                              for v in (oy1, ox1, oy2, ox2))
 
-    pos1_y = ky[..., None] + dy1  # (B, K, P)
-    pos1_x = kx[..., None] + dx1
-    pos2_y = ky[..., None] + dy2
-    pos2_x = kx[..., None] + dx2
+    # Both box samples of every pair share one sampling pass. Layout is
+    # radius-major with sample-1 and sample-2 blocks interleaved per group so
+    # each group is one contiguous [2*lo, 2*hi) slice.
+    group_bounds = []
+    lo = 0
+    for r in sorted(set(int(v) for v in np.unique(radii_sorted))):
+        hi = lo + int((radii_sorted == r).sum())
+        group_bounds.append((r, lo, hi))
+        lo = hi
 
-    chan = jnp.broadcast_to(jnp.asarray(params.radii)[None, None, :], (b, k, p))
-    s1 = sample_bank_fused(bank, chan, pos1_y, pos1_x, mode=sampling_mode)
-    s2 = sample_bank_fused(bank, chan, pos2_y, pos2_x, mode=sampling_mode)
+    pos_y_parts, pos_x_parts = [], []
+    for r, glo, ghi in group_bounds:
+        pos_y_parts += [ky[..., None] + dy1[:, :, glo:ghi],
+                        ky[..., None] + dy2[:, :, glo:ghi]]
+        pos_x_parts += [kx[..., None] + dx1[:, :, glo:ghi],
+                        kx[..., None] + dx2[:, :, glo:ghi]]
+    pos_y = jnp.clip(jnp.concatenate(pos_y_parts, axis=-1), 0.0, float(h - 1))
+    pos_x = jnp.clip(jnp.concatenate(pos_x_parts, axis=-1), 0.0, float(w - 1))
 
-    centered = (s1 - s2) - jnp.asarray(params.thresholds)[None, None, :]
+    # One image window per keypoint; origins quantized for TPU DMA tiling
+    # (rows to 8, columns to 128 — kernels/sparse_sampler.py geometry) and
+    # bounded so the window stays inside the image; the r_max halo of the
+    # padded slab supplies the replicate border for every box window.
+    start_y = jnp.clip((jnp.round(ky).astype(jnp.int32) - _PATCH_HALF) // 8 * 8,
+                       0, (h - ps) // 8 * 8)
+    start_x = jnp.clip(jnp.round(kx).astype(jnp.int32) - _PATCH_HALF, 0, w - ps)
+    xp = pad2d(x, r_max, r_max, mode="edge")
+
+    ly = jnp.clip(pos_y - start_y[..., None].astype(jnp.float32), 0.0, ps - 1.0)
+    lx = jnp.clip(pos_x - start_x[..., None].astype(jnp.float32), 0.0, ps - 1.0)
+
+    # Sample-axis groups: each group covers [2*lo, 2*hi) of the (2P,) axis.
+    groups = tuple((r, 2 * lo, 2 * hi) for r, lo, hi in group_bounds)
+    bilinear = sampling_mode == "bilinear"
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas and (b * k) % 8 == 0:
+        samples = sparse_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
+                                    groups, bilinear=bilinear)
+    else:
+        samples = reference_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
+                                       groups, bilinear=bilinear)
+
+    s1_parts, s2_parts = [], []
+    for _, slo, shi in groups:  # each group is [sample1-block | sample2-block]
+        half = (shi - slo) // 2
+        s1_parts.append(samples[..., slo:slo + half])
+        s2_parts.append(samples[..., slo + half:shi])
+    s1 = jnp.concatenate(s1_parts, axis=-1)  # (B, K, P) in radius-sorted order
+    s2 = jnp.concatenate(s2_parts, axis=-1)
+
+    centered = (s1 - s2) - jnp.asarray(params.thresholds[order])[None, None, :]
+    # Restore the original learned pair order (single static permutation).
+    centered = jnp.take(centered, inv_order, axis=-1)
     desc = _finalize(centered, binarize, soft_binarize, temperature)
     desc = desc * valid[..., None]
 

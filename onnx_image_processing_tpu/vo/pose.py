@@ -1,0 +1,153 @@
+"""Host-side pose estimation for visual odometry.
+
+Counterpart of `pytorch_model/vo/pose_estimation.py`: OpenCV RANSAC pose
+recovery plus SE(3) helpers. This layer stays on the host (NumPy/OpenCV) —
+pose math on a handful of matches is not TPU work; the TPU path feeds it
+either matched keypoints or an in-graph essential matrix (``recover_pose``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in this image
+    cv2 = None
+
+
+def _require_cv2():
+    if cv2 is None:
+        raise ImportError("OpenCV (cv2) is required for host-side pose recovery")
+
+
+@dataclass
+class CameraIntrinsics:
+    """Pinhole intrinsics (parity: `vo/pose_estimation.py:13-50`)."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+    K: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.K = np.array([[self.fx, 0.0, self.cx],
+                           [0.0, self.fy, self.cy],
+                           [0.0, 0.0, 1.0]], dtype=np.float64)
+
+    def k_inv(self) -> np.ndarray:
+        return np.linalg.inv(self.K).astype(np.float32)
+
+    def rescaled(self, width: int, height: int) -> "CameraIntrinsics":
+        """Intrinsics for a resized image (the VO app rescales auto-detected
+        intrinsics to the model resolution, `sample/visual_odometry.py:918-971`)."""
+        sx = width / self.width
+        sy = height / self.height
+        return CameraIntrinsics(self.fx * sx, self.fy * sy,
+                                self.cx * sx, self.cy * sy, width, height)
+
+
+def estimate_pose_ransac(
+    keypoints1: np.ndarray,
+    keypoints2: np.ndarray,
+    intrinsics: CameraIntrinsics,
+    ransac_threshold: float = 1.0,
+    ransac_confidence: float = 0.999,
+):
+    """RANSAC essential matrix + pose recovery from (y, x) keypoints.
+
+    Returns (R (3,3) | None, t (3,1) | None, inlier_mask (N,) bool).
+    Parity: `vo/pose_estimation.py:53-115` (>= 5 points guard, combined
+    findEssentialMat/recoverPose inlier mask).
+    """
+    _require_cv2()
+    n = len(keypoints1)
+    if n < 5 or len(keypoints2) < 5:
+        return None, None, np.zeros(n, dtype=bool)
+
+    pts1 = np.ascontiguousarray(keypoints1[:, [1, 0]], dtype=np.float64)
+    pts2 = np.ascontiguousarray(keypoints2[:, [1, 0]], dtype=np.float64)
+
+    e, mask = cv2.findEssentialMat(pts1, pts2, intrinsics.K, method=cv2.RANSAC,
+                                   prob=ransac_confidence,
+                                   threshold=ransac_threshold)
+    if e is None or mask is None:
+        return None, None, np.zeros(n, dtype=bool)
+    inliers = mask.ravel().astype(bool)
+
+    num, r, t, pose_mask = cv2.recoverPose(e, pts1, pts2, intrinsics.K, mask=mask)
+    if num < 5:
+        return None, None, inliers
+    return r, t, (mask.ravel() != 0) & (pose_mask.ravel() > 0)
+
+
+def recover_pose(
+    essential: np.ndarray,
+    keypoints1: np.ndarray,
+    keypoints2: np.ndarray,
+    intrinsics: CameraIntrinsics,
+):
+    """Chirality-resolved (R, t) from a known essential matrix and (y, x)
+    matches — the host step after the in-graph-E pipelines
+    (`sample/visual_odometry.py:95-143`).
+
+    Returns (R | None, t | None, inlier_mask (N,) bool).
+    """
+    _require_cv2()
+    n = len(keypoints1)
+    if n < 5:
+        return None, None, np.zeros(n, dtype=bool)
+    pts1 = np.ascontiguousarray(keypoints1[:, [1, 0]], dtype=np.float64)
+    pts2 = np.ascontiguousarray(keypoints2[:, [1, 0]], dtype=np.float64)
+    num, r, t, mask = cv2.recoverPose(essential.astype(np.float64), pts1, pts2,
+                                      intrinsics.K)
+    if num < 5:
+        return None, None, np.zeros(n, dtype=bool)
+    return r, t, mask.ravel() > 0
+
+
+def triangulate_points(
+    keypoints1: np.ndarray,
+    keypoints2: np.ndarray,
+    r1: np.ndarray, t1: np.ndarray,
+    r2: np.ndarray, t2: np.ndarray,
+    intrinsics: CameraIntrinsics,
+) -> np.ndarray:
+    """Two-view triangulation with near-zero-w degeneracy guard.
+
+    Parity: `vo/pose_estimation.py:118-162`.
+    """
+    _require_cv2()
+    p1 = intrinsics.K @ np.hstack([r1, t1.reshape(3, 1)])
+    p2 = intrinsics.K @ np.hstack([r2, t2.reshape(3, 1)])
+    pts1 = np.ascontiguousarray(keypoints1[:, [1, 0]], dtype=np.float64).T
+    pts2 = np.ascontiguousarray(keypoints2[:, [1, 0]], dtype=np.float64).T
+    x4 = cv2.triangulatePoints(p1, p2, pts1, pts2)
+    w = x4[3]
+    ok = np.abs(w) > 1e-9
+    out = np.zeros((3, x4.shape[1]), dtype=np.float64)
+    out[:, ok] = x4[:3, ok] / w[ok]
+    return out.T
+
+
+def compose_transformation(r1, t1, r2, t2):
+    """T = T1 @ T2 in (R, t) form (parity: `vo/pose_estimation.py:165-193`)."""
+    t1 = np.reshape(t1, (3, 1))
+    t2 = np.reshape(t2, (3, 1))
+    return r1 @ r2, r1 @ t2 + t1
+
+
+def transformation_to_matrix(r, t) -> np.ndarray:
+    m = np.eye(4, dtype=np.float64)
+    m[:3, :3] = r
+    m[:3, 3] = np.reshape(t, 3)
+    return m
+
+
+def matrix_to_transformation(m: np.ndarray):
+    return m[:3, :3], m[:3, 3]

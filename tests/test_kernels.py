@@ -1,0 +1,81 @@
+"""Pallas kernel tests: interpret-mode parity vs the jnp oracle (SURVEY.md §4:
+the interpret/compiled dichotomy stands in for the reference's export/runtime
+one)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onnx_image_processing_tpu.kernels.sparse_sampler import (
+    dma_geometry,
+    sparse_box_sample,
+    reference_box_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def sample_problem():
+    rng = np.random.default_rng(3)
+    b, k, s, ps, r = 1, 16, 64, 56, 7
+    h, w = 120, 160
+    img = rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+    imgp = np.pad(img, ((0, 0), (r, r), (r, r)), mode="edge")
+    sy = (rng.integers(0, (h - ps) // 8 + 1, (b, k)) * 8).astype(np.int32)
+    sx = rng.integers(0, w - ps, (b, k)).astype(np.int32)
+    ly = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    lx = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    groups = ((0, 0, 16), (1, 16, 32), (3, 32, 48), (7, 48, 64))
+    return (jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx),
+            jnp.asarray(ly), jnp.asarray(lx), ps, r, groups)
+
+
+@pytest.mark.parametrize("bilinear", [False, True])
+def test_sparse_sampler_interpret_matches_oracle(sample_problem, bilinear):
+    imgp, sy, sx, ly, lx, ps, r, groups = sample_problem
+    got = np.asarray(sparse_box_sample(imgp, sy, sx, ly, lx, ps, r, groups,
+                                       bilinear=bilinear, interpret=True))
+    exp = np.asarray(reference_box_sample(imgp, sy, sx, ly, lx, ps, r, groups,
+                                          bilinear=bilinear))
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
+def test_oracle_matches_direct_box_means(sample_problem):
+    """The jnp oracle itself must equal brute-force box means."""
+    imgp, sy, sx, ly, lx, ps, r, groups = sample_problem
+    out = np.asarray(reference_box_sample(imgp, sy, sx, ly, lx, ps, r, groups))
+    img = np.asarray(imgp)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        k = int(rng.integers(0, ly.shape[1]))
+        s = int(rng.integers(0, ly.shape[2]))
+        rr = next(g[0] for g in groups if g[1] <= s < g[2])
+        cy = int(np.round(float(np.asarray(ly)[0, k, s])))
+        cx = int(np.round(float(np.asarray(lx)[0, k, s])))
+        y0 = int(np.asarray(sy)[0, k])
+        x0 = int(np.asarray(sx)[0, k])
+        # Patch-local center (cy, cx) maps to padded-image (y0+cy+r, x0+cx+r).
+        py, px = y0 + cy + r, x0 + cx + r
+        manual = img[0, py - rr:py + rr + 1, px - rr:px + rr + 1].mean()
+        np.testing.assert_allclose(out[0, k, s], manual, atol=1e-3)
+
+
+def test_dma_geometry_alignment():
+    psd_y, psd_x, bank_w = dma_geometry(56, 7)
+    assert psd_y % 8 == 0 and psd_x % 128 == 0
+    assert psd_y >= 56 + 14 and psd_x >= 127 + 56 + 14
+
+
+def test_sparse_bad_pallas_flag_consistency(gray_image):
+    """use_pallas=False (jnp) on CPU must equal the auto (CPU->jnp) path."""
+    from onnx_image_processing_tpu.ops import load_bad_params, sparse_bad
+
+    rng = np.random.default_rng(5)
+    kpts = np.stack([rng.integers(0, 120, 32), rng.integers(0, 160, 32)],
+                    axis=-1).astype(np.float32)[None]
+    a = np.asarray(sparse_bad(jnp.asarray(gray_image), jnp.asarray(kpts),
+                              load_bad_params(256), use_pallas=False))
+    b = np.asarray(sparse_bad(jnp.asarray(gray_image), jnp.asarray(kpts),
+                              load_bad_params(256), use_pallas=None))
+    np.testing.assert_allclose(a, b, atol=1e-5)
