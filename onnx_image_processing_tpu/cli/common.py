@@ -19,9 +19,20 @@ def select_platform(platform: str = "auto") -> None:
     """Pin jax's default device. 'auto' keeps jax's own choice (TPU if present).
 
     Must be called before the first computation, not before import (the TPU
-    PJRT plugin registers itself regardless of JAX_PLATFORMS).
+    PJRT plugin registers itself regardless of JAX_PLATFORMS). Also enables
+    the persistent compilation cache — large matcher graphs take minutes to
+    compile, and the cache is the deployment analogue of the reference's
+    TensorRT engine cache (`sample/provider_utils.py:28-39`).
     """
+    import os
+
     import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/oip_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if platform == "auto":
         return

@@ -18,7 +18,6 @@ import time
 import numpy as np
 
 from .. import models
-from ..utils import extract_matches
 from ..vo import (
     CameraIntrinsics,
     Trajectory,
@@ -140,16 +139,24 @@ def run_visual_odometry(
 
         curr_image = load_image_from_array(curr_frame, model_height, model_width)
         fn_args = (jnp.asarray(prev_image), jnp.asarray(curr_image))
+        # The matcher is wrapped with in-graph mutual-NN extraction (see
+        # main()): only the fixed-size matched pairs cross the host boundary
+        # each frame, not the (K+1)^2 probability matrix — host<->device
+        # transfer is the VO loop's bottleneck on a tunneled TPU.
+        import jax
+
         if has_essential:
-            out = matcher_fn(*fn_args, jnp.asarray(k_inv))
-            k1, k2, p, e = (np.asarray(o) for o in out[:4])
+            # One device_get: each separate transfer costs a full tunnel round
+            # trip (~40 ms) on a remote TPU.
+            out = jax.device_get(matcher_fn(*fn_args, jnp.asarray(k_inv)))
+            mk1a, mk2a, sc, valid, e = out[:5]
         else:
-            out = matcher_fn(*fn_args)
-            k1, k2, p = (np.asarray(o) for o in out[:3])
+            out = jax.device_get(matcher_fn(*fn_args))
+            mk1a, mk2a, sc, valid = out[:4]
             e = None
 
-        mk1, mk2, _scores = extract_matches(p, k1, k2, threshold=match_threshold,
-                                            max_matches=max_matches)
+        keep = valid[0]
+        mk1, mk2 = mk1a[0][keep], mk2a[0][keep]
         n_matches = len(mk1)
         total_matches += n_matches
 
@@ -296,8 +303,20 @@ def main(argv=None):
         if not args.quiet:
             print(f"Using default intrinsics: {intr.K[0, 0]:.0f} focal length")
 
-    spec = models.get(args.model)
-    fn = models.build(args.model)
+    # Wrap the matcher with in-graph mutual-NN extraction so only fixed-size
+    # matched pairs (not the full probability matrix) leave the device.
+    base = args.model[:-len("_extraction")] if args.model.endswith("_extraction") \
+        else args.model
+    spec = models.get(base)
+    wrapped = models.with_match_extraction(spec.fn)
+    cfg = spec.defaults.with_(max_matches=args.max_matches,
+                              match_threshold=args.match_threshold)
+    import jax
+
+    def fn(*inputs):
+        return wrapped(*inputs, cfg)
+
+    fn = jax.jit(fn)
     try:
         traj = run_visual_odometry(
             fn, reader, intr, args.height, args.width,

@@ -28,8 +28,12 @@ def with_match_extraction(matcher_fn: Callable) -> Callable:
         match_scores (B, M), match_valid (B, M) [, extras...]
     """
 
-    def wrapped(image1: jax.Array, image2: jax.Array, cfg: MatcherConfig):
-        out = matcher_fn(image1, image2, cfg)
+    def wrapped(*inputs, cfg: MatcherConfig | None = None):
+        # Accept cfg positionally (registry convention) or by keyword; extra
+        # positional inputs (e.g. the essential pipelines' k_inv) pass through.
+        if cfg is None:
+            *inputs, cfg = inputs
+        out = matcher_fn(*inputs, cfg)
         kpts1, kpts2, probs, *extras = out
         mk1, mk2, scores, valid = extract_mutual_matches(
             probs, kpts1, kpts2, max_matches=cfg.max_matches,

@@ -1,0 +1,94 @@
+"""End-to-end CLI tests (small shapes, CPU platform for hermeticity).
+
+Counterpart of the reference's sample-script layer (`sample/`, SURVEY.md §2.11):
+each CLI is driven through its real argv interface.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from onnx_image_processing_tpu.cli import (
+    feature_detection,
+    image_matching,
+    image_matching_extraction,
+    visual_odometry,
+)
+from onnx_image_processing_tpu.cli import export as export_cli
+
+
+@pytest.fixture(scope="module")
+def photo(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+    img = np.clip(127 + 90 * np.sin(xx / 11) * np.cos(yy / 9)
+                  + rng.normal(0, 4, (120, 160)), 0, 255).astype(np.uint8)
+    p1 = os.path.join(d, "a.png")
+    p2 = os.path.join(d, "b.png")
+    Image.fromarray(img).save(p1)
+    Image.fromarray(np.roll(img, 6, axis=1)).save(p2)
+    return p1, p2
+
+
+def test_feature_detection_cli(photo, tmp_path):
+    out = os.path.join(tmp_path, "kpts.png")
+    rc = feature_detection.main([
+        "-i", photo[0], "-o", out, "--height", "120", "--width", "160",
+        "--max-keypoints", "100", "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_image_matching_cli(photo, tmp_path, capsys):
+    out = os.path.join(tmp_path, "m.png")
+    rc = image_matching.main([
+        "-i1", photo[0], "-i2", photo[1], "-o", out, "--height", "120",
+        "--width", "160", "--max-keypoints", "64", "--no-benchmark",
+        "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(out)
+    printed = capsys.readouterr().out
+    assert "Matches:" in printed
+
+
+def test_image_matching_extraction_cli(photo, tmp_path):
+    out = os.path.join(tmp_path, "me.png")
+    rc = image_matching_extraction.main([
+        "-i1", photo[0], "-i2", photo[1], "-o", out, "--height", "120",
+        "--width", "160", "--max-matches", "32", "--no-benchmark",
+        "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_visual_odometry_cli_on_image_dir(tmp_path, capsys):
+    # Panning camera over a textured board, frames as an image directory.
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:200, 0:400].astype(np.float32)
+    big = np.clip(127 + 90 * np.sin(xx / 12) * np.cos(yy / 10)
+                  + rng.normal(0, 4, (200, 400)), 0, 255).astype(np.uint8)
+    frames = os.path.join(tmp_path, "frames")
+    os.makedirs(frames)
+    for i in range(6):
+        Image.fromarray(big[40:160, i * 10:i * 10 + 160]).save(
+            os.path.join(frames, f"f{i:03d}.png"))
+
+    traj = os.path.join(tmp_path, "traj.npz")
+    plot = os.path.join(tmp_path, "traj.png")
+    rc = visual_odometry.main([
+        "-i", frames, "--height", "120", "--width", "160", "--fx", "120",
+        "--skip-frames", "0", "--min-matches", "8", "--max-matches", "64",
+        "-o", traj, "--plot", plot, "--quiet", "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(traj) and os.path.exists(plot)
+
+    from onnx_image_processing_tpu.vo import Trajectory
+
+    t = Trajectory.load_from_file(traj)
+    assert len(t) >= 2  # at least one pose accepted on a clean pan
+
+
+def test_export_cli_reports_compiles(capsys):
+    rc = export_cli.main(["--models", "shi_tomasi", "--height", "64",
+                          "--width", "80", "--platform", "cpu"])
+    assert rc == 0
+    assert "[OK]   shi_tomasi" in capsys.readouterr().out
