@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import MatcherConfig
-from ..ops import shi_tomasi_score
+from ..ops import dog_responses, dog_score, fast_score, shi_tomasi_score
 from .shi_tomasi_family import (
     shi_tomasi_bad_detect,
     shi_tomasi_with_angle,
@@ -116,6 +116,16 @@ register(PipelineSpec(
 register(PipelineSpec(
     "shi_tomasi_bad", shi_tomasi_bad_detect, 1, _BASE,
     "Shi-Tomasi scores + dense BAD descriptor map"))
+# FAST/DoG standalone detectors (reference: export_fast.py, export_dog.py).
+register(PipelineSpec(
+    "fast", lambda img, cfg: fast_score(img, threshold=20.0), 1, _BASE,
+    "FAST-9 binary corner score map"))
+register(PipelineSpec(
+    "dog", lambda img, cfg: dog_responses(img), 1, _BASE,
+    "Difference-of-Gaussians band responses"))
+register(PipelineSpec(
+    "dog_with_score", lambda img, cfg: dog_score(img), 1, _BASE,
+    "DoG max-|response| score map"))
 register(PipelineSpec(
     "shi_tomasi_angle", shi_tomasi_with_angle, 1,
     _BASE.with_(block_size=5), "Shi-Tomasi scores + orientation map"))

@@ -130,3 +130,23 @@ def test_extract_descriptors(gray_image, rng):
     got_sub = np.asarray(extract_descriptors_at_keypoints_subpixel(dmap_j, jnp.asarray(kpts_sub)))
     np.testing.assert_allclose(got_int, exp_int, atol=1e-4)
     np.testing.assert_allclose(got_sub, exp_sub, atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_dense_bad_oriented_matches_reference(gray_image):
+    """Dense rotation-aware path (`bad.py:112-187`): conv bank + grid_sample at
+    per-pixel rotated offsets. Small image — this path is O(H*W*P) gathers."""
+    import torch
+    from pytorch_model.descriptor.bad import BADDescriptor
+    from pytorch_model.orientation.angle_estimation import AngleEstimator
+
+    small = gray_image[:, :, :48, :64]
+    with torch.no_grad():
+        angles = AngleEstimator()(torch.from_numpy(small))
+        ref = BADDescriptor(num_pairs=256, binarize=False)
+        expected = ref(torch.from_numpy(small), angles).numpy()
+
+    got = np.asarray(dense_bad(jnp.asarray(small), load_bad_params(256),
+                               orientation=jnp.asarray(angles.numpy())))
+    # Bilinear taps at rotated positions; borders clamp identically.
+    np.testing.assert_allclose(got, expected, atol=5e-2, rtol=1e-3)

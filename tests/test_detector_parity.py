@@ -85,3 +85,26 @@ def test_topk_pads_invalid_with_minus_one(gray_image):
     kpts, ks = select_topk_keypoints(scores, mask, 64, score_threshold=1e12)
     assert np.all(np.asarray(kpts) == -1.0)
     assert np.all(np.asarray(ks) == 0.0)
+
+
+@requires_reference
+def test_angle_multiscale_matches_reference(gray_image):
+    """The reference's multiscale estimator always returns scale 0 and warns
+    (`orientation/angle_estimation.py:175-295`); we reproduce that contract."""
+    import warnings
+
+    import torch
+    from pytorch_model.orientation.angle_estimation import AngleEstimatorMultiScale
+
+    from onnx_image_processing_tpu.ops import angle_estimation_multiscale
+
+    with torch.no_grad(), warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = AngleEstimatorMultiScale(num_scales=3)
+        out = ref(torch.from_numpy(gray_image))
+        exp_angles = (out[0] if isinstance(out, (tuple, list)) else out).numpy()
+
+    angles, scale_idx = angle_estimation_multiscale(jnp.asarray(gray_image),
+                                                    num_scales=3)
+    np.testing.assert_allclose(np.asarray(angles), exp_angles, atol=1e-4)
+    assert float(np.abs(np.asarray(scale_idx)).max()) == 0.0
