@@ -10,7 +10,7 @@ from .fast import fast_score
 from .dog import dog_responses, dog_score
 from .akaze import nonlinear_diffusion, hessian_score, akaze_detect
 from .orientation import angle_estimation, angle_estimation_multiscale
-from .keypoints import nms_maxpool, select_topk_keypoints
+from .keypoints import nms_maxpool, select_topk_keypoints, refine_keypoints_subpixel
 from .bad import (
     BADParams,
     load_bad_params,
@@ -48,6 +48,7 @@ __all__ = [
     "angle_estimation_multiscale",
     "nms_maxpool",
     "select_topk_keypoints",
+    "refine_keypoints_subpixel",
     "BADParams",
     "load_bad_params",
     "dense_bad",

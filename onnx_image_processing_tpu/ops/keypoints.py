@@ -77,3 +77,58 @@ def select_topk_keypoints(
     kpts = jnp.where(valid[..., None], kpts, -1.0)
     topk_scores = jnp.where(valid, topk_scores, 0.0)
     return kpts, topk_scores
+
+
+def refine_keypoints_subpixel(scores: jax.Array, keypoints: jax.Array,
+                              kpt_scores: jax.Array | None = None):
+    """In-graph per-axis 3-point parabola sub-pixel refinement.
+
+    The reference implements this only on the host, outside every exported
+    graph (`sample/feature_detection.py:48-126`, SURVEY.md §3.3); this jnp
+    version lets pipelines emit sub-pixel keypoints without a host round trip.
+    Semantics match the host version: offset (f(-1)-f(1)) / (2(f(-1)-2f(0)+f(1)))
+    applied only where the parabola is concave and |delta| < 1; border and
+    invalid (-1, -1) keypoints pass through unchanged.
+
+    Args:
+        scores: (B, H, W) raw (pre-NMS) score map.
+        keypoints: (B, K, 2) integer-valued (y, x).
+        kpt_scores: optional (B, K) scores to refine alongside.
+
+    Returns:
+        (B, K, 2) refined keypoints [, (B, K) interpolated scores].
+    """
+    b, h, w = scores.shape
+    yi = keypoints[..., 0].astype(jnp.int32)
+    xi = keypoints[..., 1].astype(jnp.int32)
+    valid = (yi >= 1) & (yi < h - 1) & (xi >= 1) & (xi < w - 1)
+    yc = jnp.clip(yi, 1, h - 2)
+    xc = jnp.clip(xi, 1, w - 2)
+
+    flat = scores.reshape(b, h * w)
+
+    def at(dy, dx):
+        idx = (yc + dy) * w + (xc + dx)
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    f0 = at(0, 0)
+
+    def delta(f_n, f_p):
+        denom = 2.0 * (f_n - 2.0 * f0 + f_p)
+        d = jnp.where(denom < -1e-6, (f_n - f_p) / jnp.where(denom == 0, 1.0, denom), 0.0)
+        return jnp.where(jnp.abs(d) < 1.0, d, 0.0)
+
+    fy_n, fy_p = at(-1, 0), at(1, 0)
+    fx_n, fx_p = at(0, -1), at(0, 1)
+    dy = delta(fy_n, fy_p) * valid
+    dx = delta(fx_n, fx_p) * valid
+
+    refined = jnp.stack([keypoints[..., 0] + dy, keypoints[..., 1] + dx], axis=-1)
+    refined = jnp.where((keypoints[..., :1] >= 0), refined, keypoints)
+    if kpt_scores is None:
+        return refined
+    score_y = f0 + 0.25 * dy * (fy_p - fy_n)
+    score_x = f0 + 0.25 * dx * (fx_p - fx_n)
+    new_scores = jnp.where(valid & (keypoints[..., 0] >= 0),
+                           (score_y + score_x) / 2.0, kpt_scores)
+    return refined, new_scores

@@ -108,3 +108,28 @@ def test_angle_multiscale_matches_reference(gray_image):
                                                     num_scales=3)
     np.testing.assert_allclose(np.asarray(angles), exp_angles, atol=1e-4)
     assert float(np.abs(np.asarray(scale_idx)).max()) == 0.0
+
+
+def test_subpixel_refinement_matches_host(gray_image):
+    """In-graph parabola refinement must match the host implementation used by
+    the feature_detection CLI."""
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu.ops import (
+        nms_maxpool, select_topk_keypoints, shi_tomasi_score,
+        refine_keypoints_subpixel)
+    from onnx_image_processing_tpu.utils import (
+        refine_keypoints_subpixel as host_refine)
+
+    scores = shi_tomasi_score(jnp.asarray(gray_image), block_size=5)[:, 0]
+    kpts, ks = select_topk_keypoints(scores, nms_maxpool(scores, 3), 64)
+    ref_k, ref_s = refine_keypoints_subpixel(scores, kpts, ks)
+
+    host_in = np.concatenate([np.asarray(kpts)[0], np.asarray(ks)[0][:, None]],
+                             axis=1)
+    valid = host_in[:, 0] >= 0
+    host_out = host_refine(np.asarray(scores)[0], host_in[valid])
+    np.testing.assert_allclose(np.asarray(ref_k)[0][valid], host_out[:, :2],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_s)[0][valid], host_out[:, 2],
+                               atol=1e-3, rtol=1e-4)
