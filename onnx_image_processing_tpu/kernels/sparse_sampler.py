@@ -117,13 +117,33 @@ def _sample_kernel(
 
     s = ly_ref.shape[-1]
     n_groups = len(groups)
+    n_i = psi + 1  # integral-image side
 
-    # (n_groups*ps, S) iota grids for the stacked selection weights.
+    # Per-sample radius, built in-kernel from the static group table (Pallas
+    # kernels cannot capture host array constants).
+    sample_row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    rad = jnp.zeros((s, 1), jnp.float32)
+    for (r, lo, hi) in groups:
+        rad = jnp.where((sample_row >= lo) & (sample_row < hi), float(r), rad)
+    inv_area = 1.0 / (2.0 * rad + 1.0) ** 2
+
+    grid_i = jax.lax.broadcasted_iota(jnp.int32, (n_i, s), 0).astype(jnp.float32)
+    rad_t = rad.reshape(1, s)
+    inv_area_t = inv_area.reshape(1, s)
+
+    def corner_weights(local_t, scale):
+        """Transposed integral-corner difference columns (nearest mode): box
+        sum over [c+R-r, c+R+r] = e[c+R+r+1] - e[c+R-r] on the integral."""
+        row = local_t[None, :]
+        c = jnp.round(row)
+        w = ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
+             - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
+        return w * scale if scale is not None else w
+
+    # (n_groups*ps, S) grids for the bilinear fallback's stacked-bank path.
     grid_x = jax.lax.broadcasted_iota(jnp.int32, (ps, s), 0).astype(jnp.float32)
     grid_gy = jax.lax.broadcasted_iota(
         jnp.int32, (n_groups * ps, s), 0).astype(jnp.float32)
-
-    # Per-sample group row offset (g_s * ps), built from the static group table.
     sample_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     group_off = jnp.zeros((1, s), jnp.float32)
     for g, (r, lo, hi) in enumerate(groups):
@@ -131,11 +151,8 @@ def _sample_kernel(
                               float(g * ps), group_off)
 
     def sel_weights(local_t, grid, offset):
-        """Transposed selection weights: one-hot (nearest) or linearly weighted
-        two-hot (bilinear) columns at ``offset + local``."""
+        """Transposed bilinear two-hot columns at ``offset + local``."""
         row = local_t[None, :]
-        if not bilinear:
-            return (grid == offset + jnp.round(row)).astype(jnp.float32)
         lo = jnp.clip(jnp.floor(row), 0.0, float(ps - 1))
         hi = jnp.clip(lo + 1.0, 0.0, float(ps - 1))
         frac = row - jnp.floor(row)
@@ -161,9 +178,6 @@ def _sample_kernel(
     lx = lx_ref[:]
 
     for t in range(tile):
-        ohx = sel_weights(lx[t], grid_x, 0.0)        # (ps, S)
-        ohgy = sel_weights(ly[t], grid_gy, group_off)  # (G*ps, S)
-
         # Undo the lane misalignment: rotate left by `fine` so column 0 is the
         # true (unaligned) window origin, then keep the narrow psi columns.
         # (shift must stay in [0, psd_x) — fine == 0 would give a full-width
@@ -173,16 +187,44 @@ def _sample_kernel(
         patch = rolled[:psi, :psi]   # (psi, psi)
 
         # Centered integral image, exact-f32 doubling cumsums on the VPU
-        # (centering keeps magnitudes small enough for exact box means), then
-        # per-radius box-MEAN banks as static 4-corner slices: values stay in
-        # [-128, 128], where the HIGHEST-precision MXU selection below is
-        # exact (larger magnitudes lose low mantissa bits in the bf16 split).
+        # (centering keeps |I| ~ sqrt(area)*128, preserving f32 box means to
+        # ~2e-4; uncentered would cost ~1.5e-2).
         centered = patch - 127.5
         cc = cumsum_doubling(cumsum_doubling(centered, 1), 0)   # (psi, psi)
         integ = jnp.pad(cc, ((1, 0), (1, 0)))                   # (psi+1, psi+1)
 
-        # Staged through a scratch ref: Mosaic cannot lazily concatenate
-        # slices with mismatched sublane offsets.
+        if not bilinear:
+            # Integral quadratic form: every box sample is
+            # ohyC^T I ohxC with corner-difference one-hot rows (exact +/-1,
+            # bf16-safe) — no per-radius banks, one row contraction per
+            # keypoint. The integral's magnitude (up to ~5e3) exceeds what
+            # Mosaic matmuls preserve (default truncates operands to bf16,
+            # HIGHEST still loses low bits at this scale), so I is split
+            # manually into three bf16 planes: 3 single-pass MXU matmuls
+            # reconstruct f32-accurate selection (~1e-4 abs).
+            # Both corner-weight matrices stay +/-1 (bf16-exact matmul
+            # operand); the 1/area scale is applied in the f32 epilogue.
+            ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
+            ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
+            i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = integ - i1
+            i2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            i3 = r1 - i2
+            # (psi+1, psi+1) @ (psi+1, S): wide-N MXU shape.
+            rows = (jnp.dot(i1, ohx_c, preferred_element_type=jnp.float32)
+                    + jnp.dot(i2, ohx_c, preferred_element_type=jnp.float32)
+                    + jnp.dot(i3, ohx_c, preferred_element_type=jnp.float32))
+            box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
+            out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
+            continue
+
+        # Bilinear mode: fractional interpolation weights are not bf16-exact,
+        # so sample via per-radius box-mean banks (4-corner integral slices,
+        # values in [-128, 128] where HIGHEST selection is exact) and one
+        # stacked HIGHEST matmul. Staged through a scratch ref: Mosaic cannot
+        # lazily concatenate slices with mismatched sublane offsets.
+        ohx = sel_weights(lx[t], grid_x, 0.0)          # (ps, S)
+        ohgy = sel_weights(ly[t], grid_gy, group_off)  # (G*ps, S)
         for g, (r, lo, hi) in enumerate(groups):
             m = r_max - r
             sside = 2 * r + 1
@@ -192,21 +234,8 @@ def _sample_kernel(
                    - integ[b0:b1, a0:a1] + integ[a0:a1, a0:a1])
             bank_ref[g * ps:(g + 1) * ps, :] = box * (1.0 / float(sside * sside))
         bank_stack = bank_ref[:]                                # (G*ps, ps)
-
-        # One MXU matmul per keypoint: contract x for every (group, y) row.
-        if bilinear:
-            # Fractional interpolation weights need the full f32 split.
-            t1 = jnp.dot(bank_stack, ohx, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)   # (G*ps, S)
-        else:
-            # Manual bf16x2: one-hot columns are exact in bf16, so splitting
-            # the bank into a bf16 head + residual gives f32-accurate
-            # selection (<= 6e-4 abs) in 2 MXU passes instead of HIGHEST's 6
-            # (2.2x faster kernel).
-            b_hi = bank_stack.astype(jnp.bfloat16).astype(jnp.float32)
-            b_lo = bank_stack - b_hi
-            t1 = (jnp.dot(b_hi, ohx, preferred_element_type=jnp.float32)
-                  + jnp.dot(b_lo, ohx, preferred_element_type=jnp.float32))
+        t1 = jnp.dot(bank_stack, ohx, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)       # (G*ps, S)
         out_ref[t, :] = (t1 * ohgy).sum(axis=0) + 127.5
 
 
