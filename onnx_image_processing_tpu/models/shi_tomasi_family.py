@@ -32,7 +32,6 @@ from ..ops import (
     load_bad_params,
     dense_bad,
     sparse_bad,
-    extract_descriptors_at_keypoints_subpixel,
     sinkhorn_match,
     sinkhorn_match_with_filters,
 )
@@ -123,22 +122,29 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
 
     Parity: `feature_detection/shi_tomasi_bad_sinkhorn.py:23-219`.
 
+    TPU-first identity: the dense descriptor map is linear in the shifted box
+    banks, so bilinear interpolation of the map at a keypoint equals computing
+    the descriptor from bilinearly-sampled box means at that keypoint
+    (interpolation weights sum to 1, so the threshold term is unchanged).
+    Descriptors are therefore computed with the fused sparse sampler in
+    bilinear mode — mathematically identical to materializing the
+    (B, P, H, W) map (314 MB at 480x640x256) and grid_sampling it, ~15x
+    faster. Note the reference keeps keypoints at integer positions here, so
+    bilinear/nearest agree except at clamped borders.
+
     Returns:
         keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
     """
     both = _stack_pair(image1, image2)
-    scores, desc_map = shi_tomasi_bad_detect(both, cfg)
+    scores = shi_tomasi_score(both, block_size=cfg.block_size)
     margin = _resolve_border_margin(cfg, sparse=False)
     kpts, _ = _select_keypoints(scores, cfg, margin)
 
-    h, w = both.shape[-2:]
-    valid = (kpts[:, :, 0] >= 0).astype(desc_map.dtype)  # (2B, K)
-    kc = jnp.stack([jnp.clip(kpts[:, :, 0], 0.0, float(h - 1)),
-                    jnp.clip(kpts[:, :, 1], 0.0, float(w - 1))], axis=-1)
-    desc = extract_descriptors_at_keypoints_subpixel(desc_map, kc)
-    desc = desc * valid[..., None]
-    if cfg.normalize_descriptors:
-        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
+                      orientation=None, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode="bilinear", use_pallas=cfg.use_pallas)
 
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)

@@ -191,3 +191,27 @@ def test_essential_pipeline_outputs(gray_image_pair):
     s = np.linalg.svd(e, compute_uv=False)
     assert s[2] < 1e-4 * max(s[0], 1e-12)          # rank 2
     np.testing.assert_allclose(s[0], s[1], rtol=1e-3)  # sigma1 == sigma2
+
+
+@requires_reference
+def test_dense_matcher_parity(gray_image_pair):
+    """The dense matcher's sparse-bilinear descriptor path must match the
+    reference's dense-map + grid_sample extraction (they are the same linear
+    functional; keypoints are integers so interpolation is exact lookup)."""
+    import torch
+    from pytorch_model.feature_detection import ShiTomasiBADSinkhornMatcher
+
+    img1, img2 = gray_image_pair
+    k = 128
+    ref = ShiTomasiBADSinkhornMatcher(max_keypoints=k, num_pairs=256)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = ref(_to_torch(img1), _to_torch(img2))
+
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256, block_size=3)
+    fn = models.build("shi_tomasi_bad_sinkhorn", cfg)
+    k1, k2, p = fn(jnp.asarray(img1), jnp.asarray(img2))
+
+    assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
+    assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
+    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
+        np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
