@@ -60,7 +60,6 @@ def _sample_kernel(
     out_ref,         # (T, S) VMEM block
     # scratch
     patch_ref,       # (2, T, psd_y, psd_x) VMEM (double-buffered)
-    bank_ref,        # (G*ps, ps) VMEM staging for the stacked banks
     sem,             # DMA semaphores (2, T)
     *,
     tile: int,
@@ -132,32 +131,24 @@ def _sample_kernel(
     inv_area_t = inv_area.reshape(1, s)
 
     def corner_weights(local_t, scale):
-        """Transposed integral-corner difference columns (nearest mode): box
-        sum over [c+R-r, c+R+r] = e[c+R+r+1] - e[c+R-r] on the integral."""
+        """Transposed integral-corner difference columns: box sum over
+        [c+R-r, c+R+r] = e[c+R+r+1] - e[c+R-r] on the integral. Bilinear mode
+        folds the two interpolation taps into the same column (separable in y
+        and x, weights sum to 1)."""
         row = local_t[None, :]
-        c = jnp.round(row)
-        w = ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
-             - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
-        return w * scale if scale is not None else w
-
-    # (n_groups*ps, S) grids for the bilinear fallback's stacked-bank path.
-    grid_x = jax.lax.broadcasted_iota(jnp.int32, (ps, s), 0).astype(jnp.float32)
-    grid_gy = jax.lax.broadcasted_iota(
-        jnp.int32, (n_groups * ps, s), 0).astype(jnp.float32)
-    sample_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    group_off = jnp.zeros((1, s), jnp.float32)
-    for g, (r, lo, hi) in enumerate(groups):
-        group_off = jnp.where((sample_idx >= lo) & (sample_idx < hi),
-                              float(g * ps), group_off)
-
-    def sel_weights(local_t, grid, offset):
-        """Transposed bilinear two-hot columns at ``offset + local``."""
-        row = local_t[None, :]
-        lo = jnp.clip(jnp.floor(row), 0.0, float(ps - 1))
-        hi = jnp.clip(lo + 1.0, 0.0, float(ps - 1))
+        if not bilinear:
+            c = jnp.round(row)
+            w = ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
+                 - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
+            return w * scale if scale is not None else w
+        c0 = jnp.clip(jnp.floor(row), 0.0, float(ps - 1))
+        c1 = jnp.clip(c0 + 1.0, 0.0, float(ps - 1))
         frac = row - jnp.floor(row)
-        return ((grid == offset + lo).astype(jnp.float32) * (1.0 - frac)
-                + (grid == offset + hi).astype(jnp.float32) * frac)
+        w = jnp.zeros_like(grid_i)
+        for c, wgt in ((c0, 1.0 - frac), (c1, frac)):
+            w = w + wgt * ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
+                           - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
+        return w * scale if scale is not None else w
 
     def cumsum_doubling(x, axis):
         """Exact f32 inclusive cumsum via log2 shifted adds (VPU, no MXU)."""
@@ -193,50 +184,35 @@ def _sample_kernel(
         cc = cumsum_doubling(cumsum_doubling(centered, 1), 0)   # (psi, psi)
         integ = jnp.pad(cc, ((1, 0), (1, 0)))                   # (psi+1, psi+1)
 
-        if not bilinear:
-            # Integral quadratic form: every box sample is
-            # ohyC^T I ohxC with corner-difference one-hot rows (exact +/-1,
-            # bf16-safe) — no per-radius banks, one row contraction per
-            # keypoint. The integral's magnitude (up to ~5e3) exceeds what
-            # Mosaic matmuls preserve (default truncates operands to bf16,
-            # HIGHEST still loses low bits at this scale), so I is split
-            # manually into three bf16 planes: 3 single-pass MXU matmuls
-            # reconstruct f32-accurate selection (~1e-4 abs).
-            # Both corner-weight matrices stay +/-1 (bf16-exact matmul
-            # operand); the 1/area scale is applied in the f32 epilogue.
-            ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
-            ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
-            i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
-            r1 = integ - i1
-            i2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-            i3 = r1 - i2
-            # (psi+1, psi+1) @ (psi+1, S): wide-N MXU shape.
+        # Integral quadratic form: every box sample is ohyC^T I ohxC with
+        # corner-difference columns — no per-radius banks, one contraction per
+        # keypoint, oriented (psi+1, psi+1) @ (psi+1, S) so N fills MXU tiles.
+        # The integral's magnitude (up to ~5e3) exceeds what Mosaic matmuls
+        # preserve (default truncates operands to bf16; HIGHEST still loses
+        # low bits at this scale), so I is split manually into three bf16
+        # planes. In nearest mode the x-corner columns are +/-1 (bf16-exact):
+        # 3 single-pass matmuls reconstruct f32 selection (~3e-4 abs). In
+        # bilinear mode the columns carry fractional interpolation weights, so
+        # those are also split (bf16 head + residual): 6 single passes
+        # (~2e-3 abs). The y-corner weights and the 1/area scale are applied
+        # in the exact f32 epilogue.
+        ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
+        ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
+        i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = integ - i1
+        i2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        i3 = r1 - i2
+        if bilinear:
+            x_hi = ohx_c.astype(jnp.bfloat16).astype(jnp.float32)
+            x_lo = ohx_c - x_hi
+            rows = sum(jnp.dot(a, b, preferred_element_type=jnp.float32)
+                       for a in (i1, i2, i3) for b in (x_hi, x_lo))
+        else:
             rows = (jnp.dot(i1, ohx_c, preferred_element_type=jnp.float32)
                     + jnp.dot(i2, ohx_c, preferred_element_type=jnp.float32)
                     + jnp.dot(i3, ohx_c, preferred_element_type=jnp.float32))
-            box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
-            out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
-            continue
-
-        # Bilinear mode: fractional interpolation weights are not bf16-exact,
-        # so sample via per-radius box-mean banks (4-corner integral slices,
-        # values in [-128, 128] where HIGHEST selection is exact) and one
-        # stacked HIGHEST matmul. Staged through a scratch ref: Mosaic cannot
-        # lazily concatenate slices with mismatched sublane offsets.
-        ohx = sel_weights(lx[t], grid_x, 0.0)          # (ps, S)
-        ohgy = sel_weights(ly[t], grid_gy, group_off)  # (G*ps, S)
-        for g, (r, lo, hi) in enumerate(groups):
-            m = r_max - r
-            sside = 2 * r + 1
-            a0, a1 = m, m + ps
-            b0, b1 = m + sside, m + sside + ps
-            box = (integ[b0:b1, b0:b1] - integ[a0:a1, b0:b1]
-                   - integ[b0:b1, a0:a1] + integ[a0:a1, a0:a1])
-            bank_ref[g * ps:(g + 1) * ps, :] = box * (1.0 / float(sside * sside))
-        bank_stack = bank_ref[:]                                # (G*ps, ps)
-        t1 = jnp.dot(bank_stack, ohx, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)       # (G*ps, S)
-        out_ref[t, :] = (t1 * ohgy).sum(axis=0) + 127.5
+        box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
+        out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
 
 
 @functools.partial(
@@ -293,7 +269,6 @@ def sparse_box_sample(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, tile, psd_y, psd_x), jnp.float32),  # double buffer
-            pltpu.VMEM((len(groups) * ps, ps), jnp.float32),   # bank staging
             pltpu.SemaphoreType.DMA((2, tile)),
         ],
     )
