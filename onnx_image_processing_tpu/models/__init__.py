@@ -6,6 +6,7 @@ from .shi_tomasi_family import (
     shi_tomasi_bad_detect,
     shi_tomasi_with_angle,
     shi_tomasi_angle_sparse_bad_detect,
+    shi_tomasi_angle_sparse_bad_describe,
     shi_tomasi_bad_sinkhorn_match,
     shi_tomasi_sparse_bad_sinkhorn_match,
     shi_tomasi_angle_sparse_bad_sinkhorn_match,
@@ -23,6 +24,7 @@ __all__ = [
     "shi_tomasi_bad_detect",
     "shi_tomasi_with_angle",
     "shi_tomasi_angle_sparse_bad_detect",
+    "shi_tomasi_angle_sparse_bad_describe",
     "shi_tomasi_bad_sinkhorn_match",
     "shi_tomasi_sparse_bad_sinkhorn_match",
     "shi_tomasi_angle_sparse_bad_sinkhorn_match",

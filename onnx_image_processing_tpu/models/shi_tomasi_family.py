@@ -82,6 +82,25 @@ def shi_tomasi_with_angle(image: jax.Array, cfg: MatcherConfig):
     return scores, angles
 
 
+def shi_tomasi_angle_sparse_bad_describe(image: jax.Array, keypoints: jax.Array,
+                                         cfg: MatcherConfig):
+    """Score/orientation maps + oriented descriptors at GIVEN keypoints.
+
+    Parity: `feature_detection/shi_tomasi_angle.py:218-243`
+    (ShiTomasiAngleSparseBAD.forward).
+
+    Returns:
+        scores (B, 1, H, W), angles (B, 1, H, W), descriptors (B, K, P).
+    """
+    scores, angles = shi_tomasi_with_angle(image, cfg)
+    desc = sparse_bad(image, keypoints, load_bad_params(cfg.num_pairs),
+                      orientation=angles, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode=cfg.sampling_mode, use_pallas=cfg.use_pallas)
+    return scores, angles, desc
+
+
 def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
     """Single-image keypoints + oriented sparse descriptors (export variant).
 

@@ -215,3 +215,26 @@ def test_dense_matcher_parity(gray_image_pair):
     assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
     if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
         np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
+
+
+@requires_reference
+def test_describe_at_given_keypoints_parity(gray_image):
+    import torch
+    from pytorch_model.feature_detection.shi_tomasi_angle import (
+        ShiTomasiAngleSparseBAD,
+    )
+
+    rng = np.random.default_rng(9)
+    kpts = np.stack([rng.integers(8, 112, 48), rng.integers(8, 152, 48)],
+                    axis=-1).astype(np.float32)[None]
+    ref = ShiTomasiAngleSparseBAD(num_pairs=256)
+    with torch.no_grad():
+        s_e, a_e, d_e = ref(_to_torch(gray_image), _to_torch(kpts))
+
+    cfg = MatcherConfig(num_pairs=256, block_size=5)
+    s, a, d = models.shi_tomasi_angle_sparse_bad_describe(
+        jnp.asarray(gray_image), jnp.asarray(kpts), cfg)
+    np.testing.assert_allclose(np.asarray(s), s_e.numpy(), atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), a_e.numpy(), atol=1e-4)
+    close = np.isclose(np.asarray(d), d_e.numpy(), atol=2e-3, rtol=1e-3)
+    assert close.mean() > 0.995  # nearest-rounding ties at rotated offsets
