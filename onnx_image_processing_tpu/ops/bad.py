@@ -271,6 +271,14 @@ def sparse_bad(
     # (rows to 8, columns to 128 — kernels/sparse_sampler.py geometry) and
     # bounded so the window stays inside the image; the r_max halo of the
     # padded slab supplies the replicate border for every box window.
+    # Images smaller than the sample window are edge-extended to ps x ps:
+    # sample positions stay clamped to the real [0, h-1] x [0, w-1] region, so
+    # box windows only reach the extension through their halo — exactly the
+    # reference's replicate-border semantics.
+    if h < ps or w < ps:
+        he, we = max(h, ps), max(w, ps)
+        x = jnp.pad(x, ((0, 0), (0, he - h), (0, we - w)), mode="edge")
+        h, w = he, we
     start_y = jnp.clip((jnp.round(ky).astype(jnp.int32) - _PATCH_HALF) // 8 * 8,
                        0, (h - ps) // 8 * 8)
     start_x = jnp.clip(jnp.round(kx).astype(jnp.int32) - _PATCH_HALF, 0, w - ps)

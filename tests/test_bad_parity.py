@@ -150,3 +150,19 @@ def test_dense_bad_oriented_matches_reference(gray_image):
                                orientation=jnp.asarray(angles.numpy())))
     # Bilinear taps at rotated positions; borders clamp identically.
     np.testing.assert_allclose(got, expected, atol=5e-2, rtol=1e-3)
+
+
+@requires_reference
+def test_sparse_bad_tiny_image(rng):
+    """Images smaller than the 56-px sampling window (edge-extension path)."""
+    import torch
+    from pytorch_model.descriptor.bad import SparseBAD
+
+    img = rng.uniform(0, 255, (1, 1, 40, 50)).astype(np.float32)
+    kpts = _random_keypoints(rng, 40, 50, 16, n_invalid=2)
+    ref = SparseBAD(num_pairs=256, normalize_descriptors=True)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(img), torch.from_numpy(kpts)).numpy()
+    got = np.asarray(sparse_bad(jnp.asarray(img), jnp.asarray(kpts),
+                                load_bad_params(256)))
+    np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-3)

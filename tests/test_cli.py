@@ -92,3 +92,24 @@ def test_export_cli_reports_compiles(capsys):
                           "--width", "80", "--platform", "cpu"])
     assert rc == 0
     assert "[OK]   shi_tomasi" in capsys.readouterr().out
+
+
+def test_visual_odometry_cli_essential_model(tmp_path):
+    """VO with the in-graph essential-matrix pipeline (4+1 outputs wrapped)."""
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:200, 0:400].astype(np.float32)
+    big = np.clip(127 + 90 * np.sin(xx / 12) * np.cos(yy / 10)
+                  + rng.normal(0, 4, (200, 400)), 0, 255).astype(np.uint8)
+    frames = os.path.join(tmp_path, "frames")
+    os.makedirs(frames)
+    for i in range(4):
+        Image.fromarray(big[40:160, i * 12:i * 12 + 160]).save(
+            os.path.join(frames, f"f{i:03d}.png"))
+
+    traj = os.path.join(tmp_path, "traj.npz")
+    rc = visual_odometry.main([
+        "-i", frames, "--height", "120", "--width", "160", "--fx", "120",
+        "--model", "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
+        "--skip-frames", "0", "--min-matches", "8", "--max-matches", "64",
+        "-o", traj, "--quiet", "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(traj)
