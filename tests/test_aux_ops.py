@@ -181,3 +181,15 @@ def test_voxel_downsampling_properties():
     out2, mask2 = voxel_downsampling(jnp.asarray(pts), jnp.asarray(1e-4))
     # Tiny voxels -> every point its own centroid.
     assert int(np.asarray(mask2).sum()) == 200
+
+
+@requires_reference
+def test_multi_otsu_two_class_matches_reference(int_image):
+    import torch
+    from pytorch_model.threshold.multi_otsu import MultiOtsuThreshold
+
+    ref = MultiOtsuThreshold(min_val=0, max_val=256, n_class=2, calc_hist=True)
+    with torch.no_grad():
+        th_e = ref(torch.from_numpy(int_image.astype(np.int64)))
+    th = multi_otsu_threshold(jnp.asarray(int_image), 0, 256, n_class=2)
+    assert [int(x) for x in th] == [int(x) for x in th_e]
