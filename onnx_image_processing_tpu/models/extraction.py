@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax
-
 from ..core.config import MatcherConfig
 from ..ops import extract_mutual_matches
 

@@ -12,7 +12,6 @@ given image shape, which is the compile-check the reference CI performs with
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable
 
 import jax
