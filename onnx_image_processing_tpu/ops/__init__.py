@@ -33,6 +33,8 @@ from .depth import (
     depth_to_pointcloud,
     depth_to_pointcloud_with_normal,
     depth_alignment,
+    transform_points,
+    points_to_pixels,
 )
 from .pointcloud import voxel_downsampling
 
@@ -68,5 +70,7 @@ __all__ = [
     "depth_to_pointcloud",
     "depth_to_pointcloud_with_normal",
     "depth_alignment",
+    "transform_points",
+    "points_to_pixels",
     "voxel_downsampling",
 ]

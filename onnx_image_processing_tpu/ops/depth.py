@@ -74,6 +74,35 @@ def depth_to_pointcloud_with_normal(depth: jax.Array, cx: float, cy: float,
     return pcd, vec / norm
 
 
+def transform_points(points: jax.Array, rotation: jax.Array,
+                     translation: jax.Array) -> jax.Array:
+    """Rigid transform ``p @ R + t`` (parity: `depth_align.py:28-36`
+    Point2Point convention).
+
+    Args:
+        points: (..., 3); rotation (3, 3); translation (3,).
+    """
+    return points @ rotation.astype(jnp.float32) + \
+        translation.astype(jnp.float32).reshape(3)
+
+
+def points_to_pixels(points: jax.Array, cx: float, cy: float, fx: float,
+                     fy: float):
+    """Project camera-frame points to pixel coordinates; zero-depth points map
+    to (0, 0) (parity: `depth_align.py:39-60` Point2Pixel).
+
+    Args:
+        points: (..., 3).
+
+    Returns:
+        (px, py) arrays of shape points.shape[:-1].
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    px = jnp.where(z == 0.0, 0.0, x / z * fx + cx)
+    py = jnp.where(z == 0.0, 0.0, y / z * fy + cy)
+    return px, py
+
+
 @partial(jax.jit, static_argnames=(
     "width", "height", "scale", "depth_cx", "depth_cy", "depth_fx", "depth_fy",
     "rgb_cx", "rgb_cy", "rgb_fx", "rgb_fy"))
@@ -104,12 +133,8 @@ def depth_alignment(
     """
     pts = depth_to_pointcloud(depth_image, depth_cx, depth_cy, depth_fx,
                               depth_fy, scale)                      # (H, W, 3)
-    pts = pts.reshape(-1, 3) @ rotation.astype(jnp.float32) + \
-        translation.astype(jnp.float32).reshape(3)
-
-    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
-    px = jnp.where(z == 0.0, 0.0, x / z * rgb_fx + rgb_cx)
-    py = jnp.where(z == 0.0, 0.0, y / z * rgb_fy + rgb_cy)
+    pts = transform_points(pts.reshape(-1, 3), rotation, translation)
+    px, py = points_to_pixels(pts, rgb_cx, rgb_cy, rgb_fx, rgb_fy)
 
     oob = (px < 0) | (px >= width) | (py < 0) | (py >= height)
     px = jnp.where(oob, 0.0, px)

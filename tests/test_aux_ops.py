@@ -193,3 +193,30 @@ def test_multi_otsu_two_class_matches_reference(int_image):
         th_e = ref(torch.from_numpy(int_image.astype(np.int64)))
     th = multi_otsu_threshold(jnp.asarray(int_image), 0, 256, n_class=2)
     assert [int(x) for x in th] == [int(x) for x in th_e]
+
+
+@requires_reference
+def test_point_transform_and_projection_match_reference():
+    import torch
+
+    mod = _import_depth_module("depth_align")
+    from onnx_image_processing_tpu.ops import points_to_pixels, transform_points
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-1, 3, (20, 30, 3)).astype(np.float32)
+    rot = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    trans = rng.normal(size=3).astype(np.float32)
+
+    with torch.no_grad():
+        p2p = mod.Point2Point(torch.from_numpy(rot), torch.from_numpy(trans))
+        moved_e = p2p(torch.from_numpy(pts)).numpy()
+        p2px = mod.Point2Pixel(scale=1.0, width=30, height=20, cx=15.0, cy=10.0,
+                               fx=25.0, fy=26.0)
+        x_e, y_e = p2px(torch.from_numpy(moved_e))
+
+    moved = np.asarray(transform_points(jnp.asarray(pts), jnp.asarray(rot),
+                                        jnp.asarray(trans)))
+    np.testing.assert_allclose(moved, moved_e, atol=1e-5)
+    px, py = points_to_pixels(jnp.asarray(moved), cx=15.0, cy=10.0, fx=25.0, fy=26.0)
+    np.testing.assert_allclose(np.asarray(px), x_e.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(py), y_e.numpy(), atol=1e-3)
