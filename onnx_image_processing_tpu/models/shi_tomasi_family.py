@@ -110,7 +110,10 @@ def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
         keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
     """
     scores, angles = shi_tomasi_with_angle(image, cfg)
-    margin = _resolve_border_margin(cfg, sparse=True)
+    # The reference detector variant selects WITHOUT a border margin
+    # (`shi_tomasi_angle.py:344-346` passes the util's default of 0), unlike
+    # the matcher variants which default to the descriptor max radius.
+    margin = cfg.border_margin if cfg.border_margin is not None else 0
     kpts, kscores = _select_keypoints(scores, cfg, margin)
     desc = sparse_bad(image, kpts, load_bad_params(cfg.num_pairs),
                       orientation=angles, binarize=cfg.binarize,

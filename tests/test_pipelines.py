@@ -238,3 +238,26 @@ def test_describe_at_given_keypoints_parity(gray_image):
     np.testing.assert_allclose(np.asarray(a), a_e.numpy(), atol=1e-4)
     close = np.isclose(np.asarray(d), d_e.numpy(), atol=2e-3, rtol=1e-3)
     assert close.mean() > 0.995  # nearest-rounding ties at rotated offsets
+
+
+@requires_reference
+def test_single_image_detector_parity(gray_image):
+    import torch
+    from pytorch_model.feature_detection.shi_tomasi_angle import (
+        ShiTomasiAngleSparseBADDetector,
+    )
+
+    k = 96
+    ref = ShiTomasiAngleSparseBADDetector(max_keypoints=k, num_pairs=256)
+    with torch.no_grad():
+        k_e, s_e, d_e = ref(_to_torch(gray_image))
+
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256, block_size=5)
+    kpts, scores, desc = models.shi_tomasi_angle_sparse_bad_detect(
+        jnp.asarray(gray_image), cfg)
+    assert _kpt_set(np.asarray(kpts)[0]) == _kpt_set(k_e.numpy()[0])
+    if (np.asarray(kpts) == k_e.numpy()).all():
+        np.testing.assert_allclose(np.asarray(scores), s_e.numpy(),
+                                   atol=1e-2, rtol=1e-4)
+        close = np.isclose(np.asarray(desc), d_e.numpy(), atol=2e-3, rtol=1e-3)
+        assert close.mean() > 0.995
