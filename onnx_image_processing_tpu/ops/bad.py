@@ -110,6 +110,10 @@ def dense_bad(
         orientation: optional (B, 1, H, W) per-pixel orientation in radians; when
             given, pair offsets are rotated per pixel (rotation-invariant mode,
             `bad.py:112-187`); when None, the fast static-shift path is used.
+            NOTE: the oriented dense path gathers H*W*P samples and exists for
+            API parity — it is gather-bound on TPU. For keypoint workloads use
+            :func:`sparse_bad` (fused kernel); no reference export uses the
+            dense oriented mode.
 
     Returns:
         (B, P, H, W) descriptor map.
