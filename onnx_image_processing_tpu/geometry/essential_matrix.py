@@ -189,8 +189,11 @@ def essential_from_weighted_points(
     f1_flat = (f1[:, :, None] * f1[:, None, :]).reshape(n, 9)
     f2_flat = (f2[:, :, None] * f2[:, None, :]).reshape(m, 9)
 
-    wf2 = weights @ f2_flat                       # (N, 9) MXU GEMM
-    m_flat = f1_flat.T @ wf2                      # (9, 9)
+    # HIGHEST: bf16-truncated operands here bias the 9x9 normal matrix.
+    wf2 = jnp.matmul(weights, f2_flat,
+                     precision=jax.lax.Precision.HIGHEST)   # (N, 9) MXU GEMM
+    m_flat = jnp.matmul(f1_flat.T, wf2,
+                        precision=jax.lax.Precision.HIGHEST)  # (9, 9)
     m_mat = m_flat.reshape(3, 3, 3, 3).transpose(0, 2, 1, 3).reshape(9, 9)
 
     if method == "power":

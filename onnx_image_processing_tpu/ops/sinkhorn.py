@@ -19,8 +19,12 @@ def _cost_matrix(desc1: jax.Array, desc2: jax.Array, distance_type: str) -> jax.
     if distance_type == "l2":
         n1 = jnp.sum(desc1 * desc1, axis=-1, keepdims=True)              # (B, N, 1)
         n2 = jnp.sum(desc2 * desc2, axis=-1, keepdims=True)              # (B, M, 1)
+        # HIGHEST: XLA's default TPU matmul truncates f32 operands to bf16
+        # (~0.4% relative), which perturbs P near the filter thresholds; the
+        # cost matmul is tiny (~0.1 GFLOP at K=512).
         dots = jnp.einsum("bnd,bmd->bnm", desc1, desc2,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(n1 + jnp.swapaxes(n2, -2, -1) - 2.0 * dots, 0.0)
     if distance_type == "l1":
         diff = desc1[:, :, None, :] - desc2[:, None, :, :]
