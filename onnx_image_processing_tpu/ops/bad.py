@@ -235,26 +235,12 @@ def sparse_bad(
     inv_order = jnp.asarray(np.argsort(order).astype(np.int32))
     radii_sorted = radii_np[order]
 
-    oy1 = jnp.asarray(params.offset_y1[order])[None, None, :]  # (1, 1, P)
-    ox1 = jnp.asarray(params.offset_x1[order])[None, None, :]
-    oy2 = jnp.asarray(params.offset_y2[order])[None, None, :]
-    ox2 = jnp.asarray(params.offset_x2[order])[None, None, :]
-
-    if orientation is not None:
-        theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
-        cos_t = jnp.cos(theta)[..., None]  # (B, K, 1)
-        sin_t = jnp.sin(theta)[..., None]
-        dy1 = ox1 * sin_t + oy1 * cos_t
-        dx1 = ox1 * cos_t - oy1 * sin_t
-        dy2 = ox2 * sin_t + oy2 * cos_t
-        dx2 = ox2 * cos_t - oy2 * sin_t
-    else:
-        dy1, dx1, dy2, dx2 = (jnp.broadcast_to(v, (b, k, p))
-                              for v in (oy1, ox1, oy2, ox2))
-
-    # Both box samples of every pair share one sampling pass. Layout is
-    # radius-major with sample-1 and sample-2 blocks interleaved per group so
-    # each group is one contiguous [2*lo, 2*hi) slice.
+    # Both box samples of every pair share one sampling pass. The (2P,) sample
+    # axis is radius-major with sample-1/sample-2 blocks per group, so each
+    # group is one contiguous [2*lo, 2*hi) slice. The offsets are arranged
+    # into that final layout ONCE in numpy (static constants) so the traced
+    # position computation is two fused multiply-adds — no per-group slicing
+    # or concatenation of (B, K, P) intermediates.
     group_bounds = []
     lo = 0
     for r in sorted(set(int(v) for v in np.unique(radii_sorted))):
@@ -262,14 +248,28 @@ def sparse_bad(
         group_bounds.append((r, lo, hi))
         lo = hi
 
-    pos_y_parts, pos_x_parts = [], []
+    off_y = np.empty(2 * p, np.float32)
+    off_x = np.empty(2 * p, np.float32)
     for r, glo, ghi in group_bounds:
-        pos_y_parts += [ky[..., None] + dy1[:, :, glo:ghi],
-                        ky[..., None] + dy2[:, :, glo:ghi]]
-        pos_x_parts += [kx[..., None] + dx1[:, :, glo:ghi],
-                        kx[..., None] + dx2[:, :, glo:ghi]]
-    pos_y = jnp.clip(jnp.concatenate(pos_y_parts, axis=-1), 0.0, float(h - 1))
-    pos_x = jnp.clip(jnp.concatenate(pos_x_parts, axis=-1), 0.0, float(w - 1))
+        n_g = ghi - glo
+        off_y[2 * glo:2 * glo + n_g] = params.offset_y1[order][glo:ghi]
+        off_y[2 * glo + n_g:2 * ghi] = params.offset_y2[order][glo:ghi]
+        off_x[2 * glo:2 * glo + n_g] = params.offset_x1[order][glo:ghi]
+        off_x[2 * glo + n_g:2 * ghi] = params.offset_x2[order][glo:ghi]
+    off_y_j = jnp.asarray(off_y)[None, None, :]  # (1, 1, 2P)
+    off_x_j = jnp.asarray(off_x)[None, None, :]
+
+    if orientation is not None:
+        theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
+        cos_t = jnp.cos(theta)[..., None]  # (B, K, 1)
+        sin_t = jnp.sin(theta)[..., None]
+        dy = off_x_j * sin_t + off_y_j * cos_t
+        dx = off_x_j * cos_t - off_y_j * sin_t
+    else:
+        dy, dx = off_y_j, off_x_j
+
+    pos_y = jnp.clip(ky[..., None] + dy, 0.0, float(h - 1))
+    pos_x = jnp.clip(kx[..., None] + dx, 0.0, float(w - 1))
 
     # One image window per keypoint; origins quantized for TPU DMA tiling
     # (rows to 8, columns to 128 — kernels/sparse_sampler.py geometry) and
