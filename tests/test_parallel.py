@@ -60,3 +60,27 @@ def test_device_put_batch_places_shards(mesh):
     placed = device_put_batch(x, mesh)
     assert len(placed.sharding.device_set) == mesh.devices.size
     np.testing.assert_array_equal(np.asarray(placed), x)
+
+
+def test_dryrun_multichip_subprocess():
+    """Run the driver's multi-chip dry run exactly as the driver does: a fresh
+    subprocess with the TPU plugin registered (no JAX_PLATFORMS=cpu) and a
+    forced 8-device virtual CPU host platform. The dry run must be hermetic —
+    it must pass even if the TPU tunnel is unhealthy, because every array is
+    staged directly onto the CPU mesh (round-1 regression: input staging via
+    the default device died on a libtpu version skew)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let any TPU plugin register, as the driver does
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; "
+         "dryrun_multichip(8); print('DRYRUN_OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DRYRUN_OK" in proc.stdout
