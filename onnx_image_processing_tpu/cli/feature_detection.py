@@ -34,8 +34,34 @@ def parse_args(argv=None):
                    help="disable sub-pixel parabola refinement")
     p.add_argument("--benchmark", action="store_true",
                    help="print warmup+timed ms/frame")
+    # Detector hyperparameters (reference export flags: `export_fast.py:44-60`,
+    # `export_dog.py:46-70`, `export_akaze.py:50-86`). None = registry default.
+    g = p.add_argument_group("detector hyperparameters")
+    g.add_argument("--fast-threshold", type=float, default=None,
+                   help="FAST intensity threshold (reference --threshold, 20)")
+    g.add_argument("--fast-use-nms", action="store_const", const=True,
+                   default=None, help="FAST in-graph maxpool NMS")
+    g.add_argument("--fast-nms-radius", type=int, default=None)
+    g.add_argument("--dog-num-scales", type=int, default=None)
+    g.add_argument("--dog-sigma-base", type=float, default=None)
+    g.add_argument("--dog-sigma-ratio", type=float, default=None)
+    g.add_argument("--dog-kernel-size", type=int, default=None)
+    g.add_argument("--akaze-threshold", type=float, default=None)
+    g.add_argument("--akaze-kappa", type=float, default=None)
+    g.add_argument("--akaze-num-scales", type=int, default=None)
+    g.add_argument("--akaze-diffusion-iterations", type=int, default=None)
     add_platform_arg(p)
     return p.parse_args(argv)
+
+
+def detector_overrides(args) -> dict:
+    """Non-None detector flags as flat config overrides (fast_*/dog_*/akaze_*)."""
+    keys = ("fast_threshold", "fast_use_nms", "fast_nms_radius",
+            "dog_num_scales", "dog_sigma_base", "dog_sigma_ratio",
+            "dog_kernel_size", "akaze_threshold", "akaze_kappa",
+            "akaze_num_scales", "akaze_diffusion_iterations")
+    return {k: getattr(args, k) for k in keys
+            if getattr(args, k, None) is not None}
 
 
 def main(argv=None):
@@ -44,7 +70,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     arr, rgb = load_image(args.image, args.height, args.width)
-    fn = models.build(args.model)
+    fn = models.build(args.model, **detector_overrides(args))
     out = fn(jnp.asarray(arr))
     scores = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
 

@@ -7,6 +7,8 @@ row/column (`pytorch_model/utils/keypoint_utils.py:104-114`,
 `pytorch_model/matching/sinkhorn.py:164-168`).
 """
 
-from .config import MatcherConfig, AKAZEConfig, CameraConfig
+from .config import (
+    MatcherConfig, AKAZEConfig, FASTConfig, DoGConfig, CameraConfig)
 
-__all__ = ["MatcherConfig", "AKAZEConfig", "CameraConfig"]
+__all__ = ["MatcherConfig", "AKAZEConfig", "FASTConfig", "DoGConfig",
+           "CameraConfig"]

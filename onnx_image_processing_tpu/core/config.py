@@ -10,7 +10,37 @@ reference flags (README option tables, `README.md:54-66,93-103,148-177`).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, replace, fields
+
+
+@dataclass(frozen=True)
+class FASTConfig:
+    """FAST-9 detector hyperparameters; defaults mirror the reference export
+    flags (`onnx_export/export_fast.py:44-60`: threshold 20, NMS off,
+    nms radius 3)."""
+
+    threshold: float = 20.0
+    use_nms: bool = False
+    nms_radius: int = 3
+
+    def with_(self, **kwargs) -> "FASTConfig":
+        return replace(self, **kwargs)
+
+
+@dataclass(frozen=True)
+class DoGConfig:
+    """Difference-of-Gaussians hyperparameters; defaults mirror
+    `onnx_export/export_dog.py:46-70` (5 scales, sigma 1.6 * sqrt(2)^i,
+    auto kernel size)."""
+
+    num_scales: int = 5
+    sigma_base: float = 1.6
+    sigma_ratio: float = math.sqrt(2)
+    kernel_size: int | None = None
+
+    def with_(self, **kwargs) -> "DoGConfig":
+        return replace(self, **kwargs)
 
 
 @dataclass(frozen=True)
@@ -81,19 +111,52 @@ class MatcherConfig:
     # AKAZE detector (used by the AKAZE pipeline family only)
     akaze: AKAZEConfig = AKAZEConfig()
 
+    # FAST / DoG standalone detectors (reference: export_fast.py, export_dog.py)
+    fast: FASTConfig = FASTConfig()
+    dog: DoGConfig = DoGConfig()
+
     # Descriptor sampling backend: None = auto (Pallas kernel on TPU, jnp on
     # CPU); True/False force it. Set False when running TPU-traced code on a
     # CPU mesh (e.g. the multichip dry run).
     use_pallas: bool | None = None
 
     def with_(self, **kwargs) -> "MatcherConfig":
-        return replace(self, **kwargs)
+        """Replace fields. Flat sub-config keys are accepted with their prefix:
+        ``fast_threshold=30`` == ``fast=cfg.fast.with_(threshold=30)``; same for
+        ``dog_*`` and ``akaze_*`` — the CLI-flag form of the nested configs."""
+        return replace(self, **self._fold_nested(kwargs, self))
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "MatcherConfig":
-        """Build from a flat kwarg dict, ignoring unknown keys (CLI-friendly)."""
-        names = {f.name for f in fields(cls)}
-        return cls(**{k: v for k, v in kwargs.items() if k in names and v is not None})
+        """Build from a flat kwarg dict, ignoring unknown keys and None values
+        (CLI-friendly). Accepts prefixed sub-config keys like ``with_``."""
+        base = cls()
+        folded = cls._fold_nested(
+            {k: v for k, v in kwargs.items() if v is not None}, base,
+            ignore_unknown=True)
+        return replace(base, **folded)
+
+    @staticmethod
+    def _fold_nested(kwargs: dict, base: "MatcherConfig",
+                     ignore_unknown: bool = False) -> dict:
+        sub = {"fast": FASTConfig, "dog": DoGConfig, "akaze": AKAZEConfig}
+        names = {f.name for f in fields(MatcherConfig)}
+        out, nested = {}, {}
+        for k, v in kwargs.items():
+            prefix = k.split("_", 1)[0]
+            if prefix in sub and "_" in k and k not in names:
+                field = k.split("_", 1)[1]
+                if field in {f.name for f in fields(sub[prefix])}:
+                    nested.setdefault(prefix, {})[field] = v
+                    continue
+            if k in names:
+                out[k] = v
+            elif not ignore_unknown:
+                raise TypeError(f"unknown MatcherConfig field {k!r}")
+        for prefix, vals in nested.items():
+            current = out.get(prefix, getattr(base, prefix))
+            out[prefix] = replace(current, **vals)
+        return out
 
 
 @dataclass(frozen=True)

@@ -190,12 +190,16 @@ def _sample_kernel(
         # The integral's magnitude (up to ~5e3) exceeds what Mosaic matmuls
         # preserve (default truncates operands to bf16; HIGHEST still loses
         # low bits at this scale), so I is split manually into three bf16
-        # planes. In nearest mode the x-corner columns are +/-1 (bf16-exact):
-        # 3 single-pass matmuls reconstruct f32 selection (~3e-4 abs). In
-        # bilinear mode the columns carry fractional interpolation weights, so
-        # those are also split (bf16 head + residual): 6 single passes
-        # (~2e-3 abs). The y-corner weights and the 1/area scale are applied
-        # in the exact f32 epilogue.
+        # planes. In nearest mode the x-corner columns are +/-1 (bf16-exact),
+        # so f32 selection is reconstructed to ~3e-4 abs; in bilinear mode the
+        # columns carry fractional interpolation weights and are also split
+        # (bf16 head + residual, ~2e-3 abs). All planes are packed along the
+        # CONTRACTION axis into a single matmul — sum-of-plane-products is one
+        # accumulation, and K = 3*(psi+1) [6*(psi+1) bilinear] rounds to fewer
+        # 128-wide MXU tiles than separate per-plane matmuls (213 -> 2 tiles
+        # vs 3x1, a 33% MXU-pass saving) with one dispatch instead of 3 (6).
+        # The y-corner weights and the 1/area scale are applied in the exact
+        # f32 epilogue.
         ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
         ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
         i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
@@ -205,12 +209,13 @@ def _sample_kernel(
         if bilinear:
             x_hi = ohx_c.astype(jnp.bfloat16).astype(jnp.float32)
             x_lo = ohx_c - x_hi
-            rows = sum(jnp.dot(a, b, preferred_element_type=jnp.float32)
-                       for a in (i1, i2, i3) for b in (x_hi, x_lo))
+            i_cat = jnp.concatenate([i1, i2, i3, i1, i2, i3], axis=1)
+            x_cat = jnp.concatenate([x_hi, x_hi, x_hi, x_lo, x_lo, x_lo],
+                                    axis=0)
         else:
-            rows = (jnp.dot(i1, ohx_c, preferred_element_type=jnp.float32)
-                    + jnp.dot(i2, ohx_c, preferred_element_type=jnp.float32)
-                    + jnp.dot(i3, ohx_c, preferred_element_type=jnp.float32))
+            i_cat = jnp.concatenate([i1, i2, i3], axis=1)   # (n_i, 3*n_i)
+            x_cat = jnp.concatenate([ohx_c] * 3, axis=0)    # (3*n_i, S)
+        rows = jnp.dot(i_cat, x_cat, preferred_element_type=jnp.float32)
         box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
         out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
 

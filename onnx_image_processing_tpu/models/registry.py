@@ -116,15 +116,30 @@ register(PipelineSpec(
     "shi_tomasi_bad", shi_tomasi_bad_detect, 1, _BASE,
     "Shi-Tomasi scores + dense BAD descriptor map"))
 # FAST/DoG standalone detectors (reference: export_fast.py, export_dog.py).
+# Hyperparameters come from the config's nested FASTConfig/DoGConfig, so CLI
+# overrides like fast_threshold=30 reach the op (reference flag parity:
+# `export_fast.py:44-60` --threshold/--use-nms/--nms-radius,
+# `export_dog.py:46-70` --num-scales/--sigma-base/--sigma-ratio/--kernel-size).
 register(PipelineSpec(
-    "fast", lambda img, cfg: fast_score(img, threshold=20.0), 1, _BASE,
-    "FAST-9 binary corner score map"))
+    "fast",
+    lambda img, cfg: fast_score(img, threshold=cfg.fast.threshold,
+                                use_nms=cfg.fast.use_nms,
+                                nms_radius=cfg.fast.nms_radius),
+    1, _BASE, "FAST-9 binary corner score map"))
 register(PipelineSpec(
-    "dog", lambda img, cfg: dog_responses(img), 1, _BASE,
-    "Difference-of-Gaussians band responses"))
+    "dog",
+    lambda img, cfg: dog_responses(img, num_scales=cfg.dog.num_scales,
+                                   sigma_base=cfg.dog.sigma_base,
+                                   sigma_ratio=cfg.dog.sigma_ratio,
+                                   kernel_size=cfg.dog.kernel_size),
+    1, _BASE, "Difference-of-Gaussians band responses"))
 register(PipelineSpec(
-    "dog_with_score", lambda img, cfg: dog_score(img), 1, _BASE,
-    "DoG max-|response| score map"))
+    "dog_with_score",
+    lambda img, cfg: dog_score(img, num_scales=cfg.dog.num_scales,
+                               sigma_base=cfg.dog.sigma_base,
+                               sigma_ratio=cfg.dog.sigma_ratio,
+                               kernel_size=cfg.dog.kernel_size),
+    1, _BASE, "DoG max-|response| score map"))
 register(PipelineSpec(
     "shi_tomasi_angle", shi_tomasi_with_angle, 1,
     _BASE.with_(block_size=5), "Shi-Tomasi scores + orientation map"))
