@@ -32,20 +32,37 @@ def nms_maxpool(scores: jax.Array, nms_radius: int) -> jax.Array:
     return (scores >= local_max - 1e-7).astype(scores.dtype)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "score_threshold", "border_margin"))
+@partial(jax.jit, static_argnames=("max_keypoints", "score_threshold",
+                                   "border_margin", "nms_radius"))
 def select_topk_keypoints(
     scores: jax.Array,
     nms_mask: jax.Array,
     max_keypoints: int,
     score_threshold: float = 0.0,
     border_margin: int = 0,
+    nms_radius: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Select the top-k surviving keypoints from a score map.
 
     Border masking is built by coordinate comparison (no scatter), matching
-    `pytorch_model/utils/keypoint_utils.py:77-86`; selection is a flat
-    ``lax.top_k`` over H*W with (y, x) decoded by div/mod and invalid slots
-    padded to (-1, -1) with zero scores (`:88-117`).
+    `pytorch_model/utils/keypoint_utils.py:77-86`; invalid slots are padded to
+    (-1, -1) with zero scores (`:88-117`).
+
+    Two selection paths:
+
+    * ``nms_radius=None``: flat ``lax.top_k`` over H*W — exact for any input,
+      including maps with massive score ties (e.g. binary FAST maps).
+    * ``nms_radius=r`` (the radius the ``nms_mask`` was built with): the map is
+      first reduced by a per-(r+1)x(r+1)-block max. NMS guarantees any two
+      survivors within Chebyshev distance r have scores equal to within 1e-7
+      (each bounds the other via the shared window), so for detectors with
+      continuous scores each block holds at most one distinct survivor and the
+      reduction is lossless; the sort then runs on H*W/(r+1)^2 elements (36x
+      fewer at r=5) instead of the full map. Exact score ties inside one block
+      collapse to their first (raster-order) representative — the reference's
+      own top-k orders such ties arbitrarily, so match parity is unaffected
+      for float-scored detectors. Do NOT pass ``nms_radius`` for binary or
+      quantized score maps.
 
     Args:
         scores: (B, H, W).
@@ -53,6 +70,8 @@ def select_topk_keypoints(
         max_keypoints: K, static output size.
         score_threshold: keep strictly-greater scores only.
         border_margin: exclusion margin in pixels (0 disables).
+        nms_radius: radius used for ``nms_mask``; enables the block-reduced
+            fast path (see above).
 
     Returns:
         keypoints (B, K, 2) float (y, x); scores (B, K).
@@ -66,8 +85,35 @@ def select_topk_keypoints(
         masked = masked * (yv[:, None] & xv[None, :]).astype(masked.dtype)
     masked = jnp.where(masked > score_threshold, masked, 0.0)
 
-    flat = masked.reshape(b, h * w)
-    topk_scores, topk_idx = jax.lax.top_k(flat, max_keypoints)
+    use_blocks = nms_radius is not None and nms_radius >= 1
+    if use_blocks:
+        bs = nms_radius + 1
+        hp, wp = -(-h // bs) * bs, -(-w // bs) * bs
+        if (hp // bs) * (wp // bs) < max_keypoints:
+            use_blocks = False  # tiny map: fewer blocks than requested slots
+    if use_blocks:
+        if (hp, wp) != (h, w):
+            padded = jnp.pad(masked, ((0, 0), (0, hp - h), (0, wp - w)))
+        else:
+            padded = masked
+        win = (1, bs, bs)
+        block_max = jax.lax.reduce_window(
+            padded, -jnp.inf, jax.lax.max, win, win, "VALID")  # (B, Hb, Wb)
+        # Raster-first argmax inside each block: min linear index among the
+        # block's maximal elements (matches lax.top_k's lowest-index tie rule).
+        lin = (jnp.arange(hp, dtype=jnp.int32)[:, None] * w
+               + jnp.arange(wp, dtype=jnp.int32)[None, :])[None]
+        up = jnp.repeat(jnp.repeat(block_max, bs, axis=1), bs, axis=2)
+        cand = jnp.where(padded == up, lin, jnp.int32(2**31 - 1))
+        block_idx = jax.lax.reduce_window(
+            cand, jnp.int32(2**31 - 1), jax.lax.min, win, win, "VALID")
+        flat_scores = block_max.reshape(b, -1)
+        flat_index = block_idx.reshape(b, -1)
+        topk_scores, topk_block = jax.lax.top_k(flat_scores, max_keypoints)
+        topk_idx = jnp.take_along_axis(flat_index, topk_block, axis=1)
+    else:
+        flat = masked.reshape(b, h * w)
+        topk_scores, topk_idx = jax.lax.top_k(flat, max_keypoints)
 
     y = (topk_idx // w).astype(jnp.float32)
     x = (topk_idx % w).astype(jnp.float32)

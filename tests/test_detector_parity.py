@@ -78,6 +78,33 @@ def test_nms_topk_matches_reference(gray_image):
     )
 
 
+def test_topk_block_path_equals_sort_path():
+    """The block-reduced top-k (nms_radius hint) must produce the same keypoint
+    set and scores as the flat-sort path on continuous score maps — the NMS
+    distance guarantee makes the per-block max reduction lossless."""
+    rng = np.random.default_rng(7)
+    for r in (1, 2, 3, 5):
+        scores = jnp.asarray(rng.uniform(0, 10, (2, 120, 161)).astype(np.float32))
+        mask = nms_maxpool(scores, r)
+        k_sort, s_sort = select_topk_keypoints(scores, mask, 200, 0.0, 4)
+        k_blk, s_blk = select_topk_keypoints(scores, mask, 200, 0.0, 4,
+                                             nms_radius=r)
+        np.testing.assert_allclose(np.asarray(s_sort), np.asarray(s_blk),
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(k_sort), np.asarray(k_blk))
+
+
+def test_topk_block_path_tiny_map_falls_back():
+    """Fewer blocks than requested slots -> the flat path must kick in."""
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.uniform(0, 1, (1, 24, 32)).astype(np.float32))
+    mask = nms_maxpool(scores, 5)
+    k_blk, s_blk = select_topk_keypoints(scores, mask, 64, 0.0, 0, nms_radius=5)
+    k_sort, s_sort = select_topk_keypoints(scores, mask, 64, 0.0, 0)
+    np.testing.assert_array_equal(np.asarray(k_blk), np.asarray(k_sort))
+    np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_sort))
+
+
 def test_topk_pads_invalid_with_minus_one(gray_image):
     scores = shi_tomasi_score(jnp.asarray(gray_image))[:, 0]
     mask = nms_maxpool(scores, 3)

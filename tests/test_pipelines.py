@@ -27,6 +27,31 @@ def _kpt_set(kpts_row):
     return {tuple(p) for p in np.asarray(kpts_row).tolist()}
 
 
+def _perm_to_ref(k_ours, k_ref):
+    """Permutation ``perm`` with ``k_ours[perm[i]] == k_ref[i]``, keyed on the
+    (y, x) rows; duplicate keys (the (-1, -1) invalid padding) are matched in
+    order. Makes assignment comparisons permutation-invariant: torch.topk and
+    lax.top_k order score ties differently, so P must be compared through the
+    keypoint mapping, never gated on identical ordering."""
+    ours = [tuple(q) for q in np.asarray(k_ours).tolist()]
+    ref = [tuple(q) for q in np.asarray(k_ref).tolist()]
+    pos = {}
+    for i, t in enumerate(ours):
+        pos.setdefault(t, []).append(i)
+    return np.asarray([pos[t].pop(0) for t in ref], dtype=np.int64)
+
+
+def _align_probs(p, k1, k2, k1_ref, k2_ref):
+    """Reorder our (K+1, K+1) probability matrix into the reference's keypoint
+    order (dustbin row/column stays last)."""
+    perm1 = _perm_to_ref(k1, k1_ref)
+    perm2 = _perm_to_ref(k2, k2_ref)
+    k = len(perm1)
+    rows = np.concatenate([perm1, [k]])
+    cols = np.concatenate([perm2, [k]])
+    return np.asarray(p)[rows][:, cols], perm1, perm2
+
+
 @requires_reference
 def test_shi_tomasi_bad_detector_parity(gray_image):
     import torch
@@ -77,9 +102,10 @@ def test_sparse_matcher_parity(gray_image_pair, name, ref_cls_name, n_out):
     assert _kpt_set(k1[0]) == _kpt_set(k1_e[0])
     assert _kpt_set(k2[0]) == _kpt_set(k2_e[0])
 
-    # Where ordering agrees exactly, the probability matrix must too.
-    if (k1 == k1_e).all() and (k2 == k2_e).all():
-        np.testing.assert_allclose(p, p_e, atol=2e-3)
+    # Probability matrix compared through the keypoint mapping — asserted
+    # unconditionally (never gated on identical top-k ordering).
+    p_aligned, _, _ = _align_probs(p[0], k1[0], k2[0], k1_e[0], k2_e[0])
+    np.testing.assert_allclose(p_aligned, p_e[0], atol=2e-3)
     # Marginal structure always holds.
     assert p.shape == (1, k + 1, k + 1)
     np.testing.assert_allclose(p[0].sum(), 2 * k, rtol=1e-2)
@@ -105,9 +131,20 @@ def test_with_filters_matcher_parity(gray_image_pair):
     k1, k2, p, v = fn(jnp.asarray(img1), jnp.asarray(img2))
 
     assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
-    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
-        # Valid masks may flip near filter thresholds; demand near-total agreement.
-        assert (np.asarray(v) == v_e.numpy()).mean() > 0.98
+    assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
+    p_aligned, perm1, _ = _align_probs(np.asarray(p)[0], np.asarray(k1)[0],
+                                       np.asarray(k2)[0], k1_e.numpy()[0],
+                                       k2_e.numpy()[0])
+    # P compared off the filter boundaries: filtered rows are rewritten to
+    # one-hot dustbin, so a single near-threshold flip changes a whole row.
+    v_ours = np.asarray(v)[0][perm1]
+    both_valid = v_ours & v_e.numpy()[0]
+    both_invalid = ~v_ours & ~v_e.numpy()[0]
+    agree = v_ours == v_e.numpy()[0]
+    assert agree.mean() > 0.98  # valid masks may flip near filter thresholds
+    np.testing.assert_allclose(p_aligned[:-1][both_valid | both_invalid],
+                               p_e.numpy()[0][:-1][both_valid | both_invalid],
+                               atol=2e-3)
 
 
 def test_extraction_wrapper_shapes(gray_image_pair):
@@ -173,8 +210,10 @@ def test_akaze_matcher_parity(gray_image_pair):
 
     assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
     assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
-    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
-        np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
+    p_aligned, _, _ = _align_probs(np.asarray(p)[0], np.asarray(k1)[0],
+                                   np.asarray(k2)[0], k1_e.numpy()[0],
+                                   k2_e.numpy()[0])
+    np.testing.assert_allclose(p_aligned, p_e.numpy()[0], atol=2e-3)
 
 
 def test_essential_pipeline_outputs(gray_image_pair):
@@ -213,8 +252,10 @@ def test_dense_matcher_parity(gray_image_pair):
 
     assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
     assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
-    if (np.asarray(k1) == k1_e.numpy()).all() and (np.asarray(k2) == k2_e.numpy()).all():
-        np.testing.assert_allclose(np.asarray(p), p_e.numpy(), atol=2e-3)
+    p_aligned, _, _ = _align_probs(np.asarray(p)[0], np.asarray(k1)[0],
+                                   np.asarray(k2)[0], k1_e.numpy()[0],
+                                   k2_e.numpy()[0])
+    np.testing.assert_allclose(p_aligned, p_e.numpy()[0], atol=2e-3)
 
 
 @requires_reference
@@ -241,6 +282,44 @@ def test_describe_at_given_keypoints_parity(gray_image):
 
 
 @requires_reference
+def test_flagship_parity_on_real_photo():
+    """Flagship matcher diffed against the reference on a natural image
+    (reference `sample_data/*.jpg`), not just synthetics — strict, ungated
+    assignment comparison through the keypoint mapping."""
+    import glob
+
+    import torch
+    from PIL import Image
+    from pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn import (
+        ShiTomasiAngleSparseBADSinkhornMatcher,
+    )
+
+    paths = sorted(glob.glob("/root/reference/sample_data/*.jpg"))
+    if not paths:
+        pytest.skip("reference sample_data not available")
+    img = np.asarray(
+        Image.open(paths[0]).convert("L").resize((320, 240), Image.BILINEAR),
+        dtype=np.float32)[None, None]
+    shifted = np.roll(img, 9, axis=3)
+
+    k = 128
+    ref = ShiTomasiAngleSparseBADSinkhornMatcher(max_keypoints=k, num_pairs=256)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = ref(_to_torch(img), _to_torch(shifted))
+
+    cfg = MatcherConfig(max_keypoints=k, num_pairs=256, block_size=5)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn", cfg)
+    k1, k2, p = fn(jnp.asarray(img), jnp.asarray(shifted))
+
+    assert _kpt_set(np.asarray(k1)[0]) == _kpt_set(k1_e.numpy()[0])
+    assert _kpt_set(np.asarray(k2)[0]) == _kpt_set(k2_e.numpy()[0])
+    p_aligned, _, _ = _align_probs(np.asarray(p)[0], np.asarray(k1)[0],
+                                   np.asarray(k2)[0], k1_e.numpy()[0],
+                                   k2_e.numpy()[0])
+    np.testing.assert_allclose(p_aligned, p_e.numpy()[0], atol=2e-3)
+
+
+@requires_reference
 def test_single_image_detector_parity(gray_image):
     import torch
     from pytorch_model.feature_detection.shi_tomasi_angle import (
@@ -256,8 +335,9 @@ def test_single_image_detector_parity(gray_image):
     kpts, scores, desc = models.shi_tomasi_angle_sparse_bad_detect(
         jnp.asarray(gray_image), cfg)
     assert _kpt_set(np.asarray(kpts)[0]) == _kpt_set(k_e.numpy()[0])
-    if (np.asarray(kpts) == k_e.numpy()).all():
-        np.testing.assert_allclose(np.asarray(scores), s_e.numpy(),
-                                   atol=1e-2, rtol=1e-4)
-        close = np.isclose(np.asarray(desc), d_e.numpy(), atol=2e-3, rtol=1e-3)
-        assert close.mean() > 0.995
+    perm = _perm_to_ref(np.asarray(kpts)[0], k_e.numpy()[0])
+    np.testing.assert_allclose(np.asarray(scores)[0][perm], s_e.numpy()[0],
+                               atol=1e-2, rtol=1e-4)
+    close = np.isclose(np.asarray(desc)[0][perm], d_e.numpy()[0],
+                       atol=2e-3, rtol=1e-3)
+    assert close.mean() > 0.995  # nearest-rounding ties at rotated offsets
