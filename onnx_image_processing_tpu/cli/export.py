@@ -1,14 +1,18 @@
-"""Batch compile CLI — the export-registry analogue.
+"""Batch compile / export CLI — the export-registry analogue.
 
 Counterpart of `onnx_export/export.py:21-178`: where the reference exports its
 8 registry configs to .onnx as a CI entry point, this AOT-compiles every
-registered pipeline at the deployment shape and reports compile success +
-cost analysis. A compiled executable is the deployable artifact here.
+registered pipeline at the deployment shape and reports compile success + cost
+analysis; with ``--output-dir`` it additionally serializes each pipeline to a
+StableHLO ``jax.export`` artifact (the deployable file the reference attaches
+to releases, `.github/workflows/release.yml:55-64`) and verifies a
+load-and-call round trip.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from .. import models
@@ -16,20 +20,50 @@ from .common import add_platform_arg, select_platform
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="Compile-check all registry pipelines")
+    p = argparse.ArgumentParser(
+        description="Compile-check / serialize all registry pipelines")
     p.add_argument("--models", nargs="*", default=None,
                    help="pipeline names (default: all)")
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--max-keypoints", type=int, default=None)
+    p.add_argument("--output-dir", "-o", default=None,
+                   help="write <name>.<platform>.jaxexport artifacts here")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip the artifact load-and-call round trip")
     add_platform_arg(p)
     return p.parse_args(argv)
+
+
+def _verify_roundtrip(path, name, height, width, overrides):
+    """Reload the artifact and check it reproduces the live pipeline bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = models.get(name)
+    rng = np.random.default_rng(0)
+    args = [jnp.asarray(rng.uniform(0, 255, (1, 1, height, width))
+                        .astype(np.float32)) for _ in range(spec.n_images)]
+    if spec.takes_k_inv:
+        args.append(jnp.asarray(np.linalg.inv(np.array(
+            [[500., 0, width / 2], [0, 500., height / 2], [0, 0, 1]],
+            np.float32))))
+    live = models.build(name, **overrides)(*args)
+    loaded = models.load_exported(path)(*args)
+    live = live if isinstance(live, tuple) else (live,)
+    loaded = loaded if isinstance(loaded, (tuple, list)) else (loaded,)
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def main(argv=None):
     args = parse_args(argv)
     select_platform(args.platform)
+    import jax
 
+    platform = (args.platform if args.platform != "auto"
+                else jax.default_backend())
     names = args.models or models.names()
     failures = []
     for name in names:
@@ -43,7 +77,21 @@ def main(argv=None):
             dt = time.perf_counter() - t0
             cost = compiled.cost_analysis()
             flops = (cost or {}).get("flops", float("nan"))
-            print(f"[OK]   {name}: compiled in {dt:.1f}s, {flops:.3g} flops")
+            line = f"[OK]   {name}: compiled in {dt:.1f}s, {flops:.3g} flops"
+            if args.output_dir:
+                exported = models.export_model(
+                    name, args.height, args.width, platform=platform,
+                    **overrides)
+                path = models.save_exported(
+                    exported,
+                    models.artifact_path(args.output_dir, name, platform))
+                if not args.no_verify:
+                    _verify_roundtrip(path, name, args.height, args.width,
+                                      overrides)
+                line += (f" -> {os.path.basename(path)} "
+                         f"({os.path.getsize(path) / 1e6:.2f} MB"
+                         f"{', verified' if not args.no_verify else ''})")
+            print(line)
         except Exception as err:  # report every failure, keep going
             failures.append(name)
             print(f"[FAIL] {name}: {err}")

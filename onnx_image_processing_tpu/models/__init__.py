@@ -19,6 +19,13 @@ from .essential_family import (
 )
 from .extraction import with_match_extraction
 from .registry import PipelineSpec, register, names, get, build, compile_model
+from .serialize import (
+    export_model,
+    export_to_dir,
+    load_exported,
+    save_exported,
+    artifact_path,
+)
 
 __all__ = [
     "shi_tomasi_bad_detect",
@@ -40,4 +47,9 @@ __all__ = [
     "get",
     "build",
     "compile_model",
+    "export_model",
+    "export_to_dir",
+    "load_exported",
+    "save_exported",
+    "artifact_path",
 ]

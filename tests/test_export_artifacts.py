@@ -1,0 +1,74 @@
+"""Serialized-artifact tests: jax.export round trips for registry pipelines.
+
+The deployable-artifact analogue of the reference CI's export + onnx.checker +
+ORT smoke test (`.github/workflows/onnx-export.yml:35-97`): serialize to
+StableHLO, reload, and require bit-exact agreement with the live pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from onnx_image_processing_tpu import models
+
+
+@pytest.mark.parametrize("name", [
+    "shi_tomasi",
+    "shi_tomasi_angle_sparse_bad_sinkhorn",
+    "shi_tomasi_angle_sparse_bad_sinkhorn_extraction",
+])
+def test_export_roundtrip_bit_exact(name, tmp_path):
+    h, w = 64, 80
+    overrides = dict(max_keypoints=32, max_matches=16)
+    exported = models.export_model(name, h, w, platform="cpu", **overrides)
+    path = models.save_exported(
+        exported, models.artifact_path(str(tmp_path), name, "cpu"))
+    assert os.path.getsize(path) > 0
+
+    rng = np.random.default_rng(1)
+    spec = models.get(name)
+    args = [jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+            for _ in range(spec.n_images)]
+    live = models.build(name, **overrides)(*args)
+    loaded = models.load_exported(path)(*args)
+    live = live if isinstance(live, tuple) else (live,)
+    loaded = loaded if isinstance(loaded, (tuple, list)) else (loaded,)
+    assert len(live) == len(loaded)
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_essential_pipeline_roundtrip(tmp_path):
+    name = "akaze_sparse_bad_sinkhorn_essential_matrix"
+    h, w = 64, 80
+    exported = models.export_model(name, h, w, platform="cpu",
+                                   max_keypoints=32)
+    path = models.save_exported(
+        exported, models.artifact_path(str(tmp_path), name, "cpu"))
+
+    rng = np.random.default_rng(2)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    k_inv = jnp.asarray(np.linalg.inv(
+        np.array([[100., 0, 40], [0, 100., 32], [0, 0, 1]], np.float32)))
+    live = models.build(name, max_keypoints=32)(img1, img2, k_inv)
+    loaded = models.load_exported(path)(img1, img2, k_inv)
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_cli_writes_and_verifies(tmp_path, capsys):
+    from onnx_image_processing_tpu.cli import export as export_cli
+
+    rc = export_cli.main([
+        "--models", "shi_tomasi", "fast",
+        "--height", "64", "--width", "80",
+        "--output-dir", str(tmp_path), "--platform", "cpu"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "verified" in out
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["fast.cpu.jaxexport", "shi_tomasi.cpu.jaxexport"]
