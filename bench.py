@@ -5,24 +5,31 @@ at 480x640, 512 keypoints, 512-pair descriptors (BASELINE.md config #4).
 
 Protocol: the reference times host-blocking session.run calls
 (`sample/image_matching.py:313-328`); on this rig a host round trip through
-the TPU tunnel costs ~40 ms, which would measure the tunnel, not the chip, so
-frames are chained on-device with ``lax.scan`` (each iteration's input depends
-on the previous output — no overlap, no elision) and the host syncs once.
-Reported ms/frame = (total - tunnel round trip) / n_frames.
+the TPU tunnel costs ~40 ms, which would measure the tunnel, not the chip.
+Frames are chained on-device with ``lax.scan`` (each iteration's input depends
+on the previous output — no overlap, no elision) at two chain lengths;
+ms/frame = (T(3n) - T(n)) / (2n), which cancels the tunnel round trip and all
+fixed host overhead exactly (see benchmarks/timing.py). ``--profile`` adds an
+on-device ``jax.profiler`` cross-check (the device's own XLA-module time) and
+an MFU estimate from the compiled FLOP count.
 
-Prints ONE JSON line. ``vs_baseline`` is FPS / 500 (the BASELINE.json
+Prints ONE JSON line last. ``vs_baseline`` is FPS / 500 (the BASELINE.json
 north-star target for one TPU v5e chip; the reference publishes no numbers).
 """
 
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def main() -> None:
-    import os
+PEAK_BF16_FLOPS = 1.97e14  # v5e
+
+
+def main(argv=None) -> None:
+    profile = "--profile" in (argv or sys.argv[1:])
 
     import jax
 
@@ -34,6 +41,7 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    from benchmarks.timing import chain_time, device_trace_time
     from onnx_image_processing_tpu import models
     from onnx_image_processing_tpu.models.shi_tomasi_family import (
         shi_tomasi_angle_sparse_bad_sinkhorn_match,
@@ -51,28 +59,35 @@ def main() -> None:
         np.float32)[None, None]
     img1, img2 = jnp.asarray(img1), jnp.asarray(img2)
 
-    n_frames = 50
+    def step(a, b):
+        _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(a, b, cfg)
+        eps = p[0, 0, 0] * 1e-12  # serialize: next frame depends on this one
+        return p[0, 0, 0], (a + eps, b + eps)
 
-    @jax.jit
-    def run(i1, i2):
-        def body(carry, _):
-            a, b = carry
-            _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(a, b, cfg)
-            eps = p[0, 0, 0] * 1e-12  # serialize: next frame depends on this one
-            return (a + eps, b + eps), p[0, 0, 0]
+    ms_per_frame = chain_time(step, (img1, img2), n=50)
 
-        _, outs = jax.lax.scan(body, (i1, i2), None, length=n_frames)
-        return outs.sum()
+    if profile:
+        dev_ms = device_trace_time(step, (img1, img2), n=50)
+        fn = jax.jit(lambda a, b: shi_tomasi_angle_sparse_bad_sinkhorn_match(
+            a, b, cfg))
+        try:
+            ca = fn.lower(img1, img2).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", float("nan")))
+        except Exception:
+            flops = float("nan")
+        print(json.dumps({
+            "profile": "flagship_512kpt",
+            "chain_ms_per_frame": round(ms_per_frame, 4),
+            "device_trace_ms_per_frame":
+                None if dev_ms is None else round(dev_ms, 4),
+            "flops_per_frame": flops,
+            "mfu_bf16_pct":
+                None if not dev_ms else round(
+                    100.0 * flops / (dev_ms * 1e-3) / PEAK_BF16_FLOPS, 2),
+        }))
 
-    # Tunnel round-trip floor (trivial op, same sync pattern).
-    tiny = jax.jit(lambda a: a[0, 0, 0, 0] + 1.0)
-    _ = float(tiny(img1))
-    rtt = min(_time_once(tiny, (img1,)) for _ in range(5))
-
-    _ = float(run(img1, img2))  # compile + warm
-    total = min(_time_once(run, (img1, img2)) for _ in range(5))
-
-    ms_per_frame = max(total - rtt, 1e-9) * 1e3 / n_frames
     fps = 1e3 / ms_per_frame
     print(json.dumps({
         "metric": "shi_tomasi_angle_sparse_bad_sinkhorn_480x640_512kpt_fps",
@@ -80,13 +95,6 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 4),
     }))
-
-
-def _time_once(fn, args) -> float:
-    t0 = time.perf_counter()
-    out = fn(*args)
-    float(np.asarray(out).ravel()[0])  # force D2H sync
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

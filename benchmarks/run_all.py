@@ -1,8 +1,9 @@
 """Benchmark every BASELINE.md config on the current device.
 
-Protocol: frames chained on-device via lax.scan (see bench.py docstring for
-why host-synchronized timing is invalid on a tunneled TPU), minus the measured
-host round-trip floor. Prints one JSON line per config plus a summary table.
+Protocol: frames chained on-device via lax.scan at two chain lengths;
+ms/frame = (T(3n) - T(n)) / (2n), cancelling the host<->TPU tunnel round trip
+exactly (see benchmarks/timing.py for why host-synchronized timing is invalid
+on a tunneled TPU). Prints one JSON line per config.
 """
 
 from __future__ import annotations
@@ -10,11 +11,12 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.timing import chain_time  # noqa: E402
 
 
 def _images(h, w, b=1, seed=0):
@@ -30,32 +32,8 @@ def _images(h, w, b=1, seed=0):
 
 
 def _chain_time(step_fn, args, n=50, reps=4):
-    """Mean ms/iteration of step_fn chained n times on-device, minus RTT."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(*a):
-        def body(carry, _):
-            out_scalar, new_carry = step_fn(*carry)
-            return new_carry, out_scalar
-
-        _, outs = jax.lax.scan(body, a, None, length=n)
-        return outs.sum()
-
-    tiny = jax.jit(lambda x: x.ravel()[0] + 1.0)
-    _ = float(tiny(args[0]))
-    rtt = min(_once(tiny, (args[0],)) for _ in range(5))
-    _ = float(run(*args))
-    total = min(_once(run, args) for _ in range(reps))
-    return max(total - rtt, 1e-9) * 1e3 / n
-
-
-def _once(fn, args):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    float(np.asarray(out).ravel()[0])
-    return time.perf_counter() - t0
+    """Differential-chain ms/iteration (benchmarks/timing.py)."""
+    return chain_time(step_fn, args, n=n, reps=reps)
 
 
 def bench_shi_tomasi_nms():

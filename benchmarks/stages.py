@@ -25,7 +25,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -58,42 +57,19 @@ def _images(h=480, w=640, b=2, seed=0):
     return jnp.asarray(imgs)
 
 
-def _rtt_floor(probe):
-    import jax
+def _chain(stage_fn, args, n=50, reps=3):
+    """Device ms/iteration of ``stage_fn(*args)``, differential-chain protocol
+    (benchmarks/timing.py). ``stage_fn`` must return a single array; the chain
+    dependency is injected by adding a tiny epsilon of the output back onto
+    the first argument."""
+    from benchmarks.timing import chain_time
 
-    tiny = jax.jit(lambda x: x.ravel()[0] + 1.0)
-    float(tiny(probe))
-    return min(_once(tiny, (probe,)) for _ in range(5))
+    def step(*carry):
+        out = stage_fn(*carry)
+        eps = out.ravel()[0] * 1e-20
+        return out.ravel()[0], (carry[0] + eps,) + carry[1:]
 
-
-def _once(fn, args):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    float(np.asarray(out).ravel()[0])
-    return time.perf_counter() - t0
-
-
-def _chain(stage_fn, args, rtt, n=50, reps=4):
-    """Device ms/iteration of ``stage_fn(*args)`` chained n times.
-
-    ``stage_fn`` must return a single array; the chain dependency is injected
-    by adding a tiny epsilon of the output back onto the first argument.
-    """
-    import jax
-
-    @jax.jit
-    def run(*a):
-        def body(carry, _):
-            out = stage_fn(*carry)
-            eps = out.ravel()[0] * 1e-20
-            return (carry[0] + eps,) + carry[1:], out.ravel()[0]
-
-        _, outs = jax.lax.scan(body, a, None, length=n)
-        return outs.sum()
-
-    float(run(*args))  # compile + warm
-    total = min(_once(run, args) for _ in range(reps))
-    return max(total - rtt, 1e-9) * 1e3 / n
+    return chain_time(step, args, n=n, reps=reps)
 
 
 def _cost(stage_fn, args):
@@ -140,7 +116,6 @@ def profile_flagship(kpts: int, num_pairs: int = 512):
     cfg = models.get("shi_tomasi_angle_sparse_bad_sinkhorn").defaults.with_(
         max_keypoints=kpts, num_pairs=num_pairs)
     both = _images()  # (2, 1, 480, 640) = the stacked pair
-    rtt = _rtt_floor(both)
 
     # Precompute stage inputs once (on device) so each stage is timed alone.
     params = load_bad_params(cfg.num_pairs)
@@ -173,7 +148,7 @@ def profile_flagship(kpts: int, num_pairs: int = 512):
          lambda i: shi_tomasi_angle_sparse_bad_sinkhorn_match(
              i[:1], i[1:], cfg)[2], (both,)),
     ]
-    return _run_stages(stages, rtt)
+    return _run_stages(stages)
 
 
 def profile_akaze_essential(kpts: int, num_pairs: int = 512):
@@ -195,7 +170,6 @@ def profile_akaze_essential(kpts: int, num_pairs: int = 512):
     cfg = models.get("akaze_sparse_bad_sinkhorn").defaults.with_(
         max_keypoints=kpts, num_pairs=num_pairs)
     both = _images()
-    rtt = _rtt_floor(both)
     k_inv = jnp.asarray(np.linalg.inv(
         np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]], np.float32)))
 
@@ -231,7 +205,7 @@ def profile_akaze_essential(kpts: int, num_pairs: int = 512):
          lambda i: akaze_sparse_bad_sinkhorn_essential_match(
              i[:1], i[1:], k_inv, cfg)[3], (both,)),
     ]
-    return _run_stages(stages, rtt)
+    return _run_stages(stages)
 
 
 def _diffusion_ladder(both, cfg):
@@ -245,10 +219,10 @@ def _diffusion_ladder(both, cfg):
     return cur
 
 
-def _run_stages(stages, rtt):
+def _run_stages(stages):
     out = []
     for name, fn, args in stages:
-        ms = _chain(fn, args, rtt)
+        ms = _chain(fn, args)
         flops, byts = _cost(fn, args)
         out.append(_report(name, ms, flops, byts))
     e2e = out[-1]

@@ -152,3 +152,29 @@ def test_visual_odometry_recovers_pan_direction(tmp_path):
     assert x_dom.mean() >= 0.5
     signs = np.sign(steps[x_dom, 0])
     assert np.all(signs == signs[0])
+
+
+def test_feature_detection_cli_detector_flags(photo, tmp_path, capsys):
+    """FAST intensity threshold must thread CLI -> config -> op: a lower
+    threshold fires at strictly more pixels (reference --threshold flag,
+    `export_fast.py:44-48`)."""
+    # FAST needs hard corners: a block pattern, not the smooth sine photo.
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((20, 20), np.uint8))
+    corner_path = os.path.join(tmp_path, "blocks.png")
+    Image.fromarray(img).save(corner_path)
+
+    counts = {}
+    for thr in (10.0, 60.0):
+        out = os.path.join(tmp_path, f"fast_{int(thr)}.png")
+        rc = feature_detection.main([
+            "-i", corner_path, "-o", out, "--height", "120", "--width", "160",
+            "--model", "fast", "--fast-threshold", str(thr),
+            "--threshold", "0.5", "--max-keypoints", "500",
+            "--platform", "cpu"])
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("Detected")][0]
+        counts[thr] = int(line.split()[1])
+    assert counts[10.0] > counts[60.0] > 0

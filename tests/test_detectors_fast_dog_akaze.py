@@ -109,3 +109,58 @@ def test_akaze_matches_reference(gray_image):
     if det.any():
         do = np.abs(o - o_e.numpy())[det]
         assert np.quantile(do, 0.99) < 1e-3
+
+
+@requires_reference
+def test_registry_fast_hyperparams_reach_op(gray_image):
+    """Reference export-flag parity (`export_fast.py:44-60`): building the
+    'fast' registry entry with fast_threshold/fast_use_nms overrides must
+    match the reference module at the same non-default settings."""
+    import torch
+    from pytorch_model.detector.fast import FASTScore
+
+    from onnx_image_processing_tpu import models
+
+    ref = FASTScore(threshold=30, use_nms=True, nms_radius=2)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(gray_image)).numpy()
+
+    fn = models.build("fast", fast_threshold=30.0, fast_use_nms=True,
+                      fast_nms_radius=2)
+    got = np.asarray(fn(jnp.asarray(gray_image)))
+    np.testing.assert_array_equal(got, expected)
+    # And the default build must differ (i.e. the overrides actually bind).
+    default = np.asarray(models.build("fast")(jnp.asarray(gray_image)))
+    assert not np.array_equal(got, default)
+
+
+@requires_reference
+def test_registry_dog_hyperparams_reach_op(gray_image):
+    """`export_dog.py:46-70` flag parity through the registry config."""
+    import torch
+    from pytorch_model.detector.dog import DoGDetectorWithScore
+
+    from onnx_image_processing_tpu import models
+
+    with torch.no_grad():
+        expected = DoGDetectorWithScore(num_scales=4, sigma_base=2.0,
+                                        sigma_ratio=1.5)(
+            torch.from_numpy(gray_image)).numpy()
+    fn = models.build("dog_with_score", dog_num_scales=4, dog_sigma_base=2.0,
+                      dog_sigma_ratio=1.5)
+    got = np.asarray(fn(jnp.asarray(gray_image)))
+    np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-4)
+
+
+def test_matcher_config_folds_prefixed_keys():
+    from onnx_image_processing_tpu.core import MatcherConfig
+
+    cfg = MatcherConfig().with_(fast_threshold=30.0, akaze_kappa=0.1,
+                                dog_num_scales=4, max_keypoints=64)
+    assert cfg.fast.threshold == 30.0 and cfg.fast.use_nms is False
+    assert cfg.akaze.kappa == 0.1 and cfg.akaze.num_scales == 3
+    assert cfg.dog.num_scales == 4 and cfg.max_keypoints == 64
+    # from_kwargs ignores unknowns/Nones but folds known prefixed keys.
+    cfg2 = MatcherConfig.from_kwargs(fast_use_nms=True, bogus_key=1,
+                                     epsilon=None)
+    assert cfg2.fast.use_nms is True and cfg2.epsilon == 1.0
