@@ -27,9 +27,42 @@ def _cost_matrix(desc1: jax.Array, desc2: jax.Array, distance_type: str) -> jax.
                           precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(n1 + jnp.swapaxes(n2, -2, -1) - 2.0 * dots, 0.0)
     if distance_type == "l1":
+        return _l1_cost(desc1, desc2)
+    raise ValueError(f"distance_type must be 'l1' or 'l2', got {distance_type}")
+
+
+# Stream the L1 cost when the (B, N, M, D) difference tensor would exceed this
+# many elements (~64 MB f32); at K=1024, D=512 the direct form is ~2 GB.
+_L1_DIRECT_ELEMS = 1 << 24
+
+
+def _l1_cost(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
+    """Pairwise L1 cost without materializing (B, N, M, D).
+
+    L1 has no low-rank (matmul) decomposition, so the reference materializes
+    the full 4-D difference tensor (`sinkhorn.py:106-110`) — ~2 GB f32 at
+    K=1024, D=512. Here desc2 is streamed in column chunks under ``lax.scan``:
+    peak memory is one (B, N, chunk, D) slab (~64 MB), compute is identical.
+    """
+    b, n, d = desc1.shape
+    m = desc2.shape[1]
+    if b * n * m * d <= _L1_DIRECT_ELEMS:
         diff = desc1[:, :, None, :] - desc2[:, None, :, :]
         return jnp.sum(jnp.abs(diff), axis=-1)
-    raise ValueError(f"distance_type must be 'l1' or 'l2', got {distance_type}")
+
+    chunk = max(1, min(m, _L1_DIRECT_ELEMS // max(1, b * n * d)))
+    mp = -(-m // chunk) * chunk
+    d2 = jnp.pad(desc2, ((0, 0), (0, mp - m), (0, 0)))
+    chunks = jnp.moveaxis(d2.reshape(b, mp // chunk, chunk, d), 1, 0)
+
+    def body(_, d2_chunk):  # (B, chunk, D)
+        c = jnp.sum(jnp.abs(desc1[:, :, None, :] - d2_chunk[:, None, :, :]),
+                    axis=-1)
+        return 0, c  # (B, N, chunk)
+
+    _, out = jax.lax.scan(body, 0, chunks)
+    out = jnp.moveaxis(out, 0, 2).reshape(b, n, mp)
+    return out[:, :, :m]
 
 
 def sinkhorn_match(

@@ -5,6 +5,7 @@ import pytest
 
 from conftest import requires_reference
 
+import jax
 import jax.numpy as jnp
 
 from onnx_image_processing_tpu.ops import (
@@ -156,3 +157,35 @@ def test_numpy_outlier_filters_match_reference():
     # K=1 edge case
     np.testing.assert_array_equal(probability_ratio_filter(np.ones((1, 1), np.float32)),
                                   ref_ratio(np.ones((1, 1), np.float32)))
+
+
+def test_l1_cost_streamed_equals_direct():
+    """The chunked L1 cost (used when (B,N,M,D) would blow past ~64MB) must
+    equal the direct 4-D formulation bit-for-bit."""
+    import onnx_image_processing_tpu.ops.sinkhorn as sk
+
+    rng = np.random.default_rng(11)
+    d1 = jnp.asarray(rng.normal(size=(2, 37, 19)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(size=(2, 53, 19)).astype(np.float32))
+    direct = np.asarray(sk._l1_cost(d1, d2))
+    old = sk._L1_DIRECT_ELEMS
+    try:
+        sk._L1_DIRECT_ELEMS = 1  # force streaming with an awkward chunk split
+        streamed = np.asarray(jax.jit(sk._l1_cost)(d1, d2))
+    finally:
+        sk._L1_DIRECT_ELEMS = old
+    np.testing.assert_array_equal(direct, streamed)
+
+
+def test_l1_flagship_1024_compiles():
+    """The l1 flagship variant at the reference CI shape (1024 kpts, 512-D)
+    must lower without a (1,1024,1024,512) intermediate in the HLO."""
+    from onnx_image_processing_tpu import models
+
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=1024, num_pairs=512, distance_type="l1",
+                      use_pallas=False)
+    args = [jax.ShapeDtypeStruct((1, 1, 480, 640), jnp.float32)] * 2
+    lowered = fn.lower(*args)
+    assert "1024,1024,512" not in lowered.as_text()
+    assert lowered.compile() is not None
