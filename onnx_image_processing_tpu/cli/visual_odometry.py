@@ -163,6 +163,7 @@ def run_visual_odometry(
         status = None
         pose_updated = False
         n_inliers = 0
+        last_inlier_mask = None  # (n_matches,) bool once a pose was attempted
 
         if n_matches < min_matches:
             status = f"INSUFFICIENT MATCHES ({n_matches}/{min_matches})"
@@ -189,6 +190,8 @@ def run_visual_odometry(
                 else:
                     r, t, inlier_mask = estimate_pose_ransac(
                         mk1, mk2, intrinsics, ransac_threshold=ransac_threshold)
+                last_inlier_mask = (np.asarray(inlier_mask).astype(bool)
+                                    if inlier_mask is not None else None)
                 n_inliers = int(inlier_mask.sum())
                 total_inliers += n_inliers
                 ratio = n_inliers / n_matches
@@ -213,15 +216,12 @@ def run_visual_odometry(
         if display:
             import cv2
 
-            info = curr_frame.copy()
-            sx = info.shape[1] / model_width
-            sy = info.shape[0] / model_height
-            for (y, x) in mk2:
-                cv2.circle(info, (int(x * sx), int(y * sy)), 2,
-                           (0, 255, 0) if pose_updated else (0, 165, 255), -1)
-            text = status or f"matches={n_matches} inliers={n_inliers}"
-            cv2.putText(info, text, (8, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
-                        (255, 255, 255), 2)
+            from ..utils import draw_vo_overlay
+
+            info = draw_vo_overlay(
+                curr_frame, trajectory, frame_count, n_matches, n_inliers,
+                mk2, last_inlier_mask, pose_updated, status,
+                model_width, model_height)
             cv2.imshow("Visual Odometry", info)
             key = cv2.waitKey(1) & 0xFF
             if key == ord("q"):

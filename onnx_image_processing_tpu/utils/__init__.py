@@ -6,7 +6,8 @@ from .host_postprocess import (
     select_keypoints,
     extract_matches,
 )
-from .visualization import visualize_keypoints, visualize_matches
+from .visualization import (visualize_keypoints, visualize_matches,
+                            draw_vo_overlay)
 
 __all__ = [
     "nms_keypoints",
@@ -15,4 +16,5 @@ __all__ = [
     "extract_matches",
     "visualize_keypoints",
     "visualize_matches",
+    "draw_vo_overlay",
 ]

@@ -107,12 +107,14 @@ def test_visual_odometry_cli_essential_model(tmp_path):
             os.path.join(frames, f"f{i:03d}.png"))
 
     traj = os.path.join(tmp_path, "traj.npz")
+    plot = os.path.join(tmp_path, "traj.png")
     rc = visual_odometry.main([
         "-i", frames, "--height", "120", "--width", "160", "--fx", "120",
         "--model", "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
         "--skip-frames", "0", "--min-matches", "8", "--max-matches", "64",
-        "-o", traj, "--quiet", "--platform", "cpu"])
+        "-o", traj, "--plot", plot, "--quiet", "--platform", "cpu"])
     assert rc == 0 and os.path.exists(traj)
+    assert os.path.exists(plot) and os.path.getsize(plot) > 0
 
 
 def test_visual_odometry_recovers_pan_direction(tmp_path):

@@ -170,3 +170,30 @@ def test_intrinsics_rescale():
     intr = CameraIntrinsics(600, 600, 320, 240, 640, 480)
     small = intr.rescaled(320, 240)
     assert small.fx == 300 and small.cx == 160 and small.width == 320
+
+
+def test_draw_vo_overlay_headless():
+    """The full OSD (status panel + colored keypoints + trajectory mini-map)
+    must render headlessly on a plain ndarray frame."""
+    import numpy as np
+
+    from onnx_image_processing_tpu.utils import draw_vo_overlay
+    from onnx_image_processing_tpu.vo import Trajectory
+
+    traj = Trajectory()
+    for i in range(5):
+        traj.add_relative_pose(np.eye(3), np.array([[0.2], [0.0], [0.1]]))
+    frame = np.zeros((480, 640, 3), np.uint8)
+    kpts = np.array([[100.0, 200.0], [150.0, 300.0], [50.0, 90.0]])
+    mask = np.array([True, False, True])
+
+    out = draw_vo_overlay(frame, traj, 7, 3, 2, kpts, mask, True,
+                          None, 640, 480)
+    assert out.shape == frame.shape and out.dtype == frame.dtype
+    assert (out != frame).any()          # panel + keypoints drawn
+    assert (frame == 0).all()            # input untouched
+
+    # No-pose variant (yellow keypoints, status line) and empty trajectory.
+    out2 = draw_vo_overlay(frame, Trajectory(), 1, 3, 0, kpts, None, False,
+                           "POSE ESTIMATION FAILED", 640, 480)
+    assert (out2 != frame).any()
