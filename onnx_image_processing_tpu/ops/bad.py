@@ -101,6 +101,7 @@ def dense_bad(
     binarize: bool = False,
     soft_binarize: bool = True,
     temperature: float = 10.0,
+    oriented_route: str = "auto",
 ) -> jax.Array:
     """Dense BAD descriptor map.
 
@@ -110,17 +111,35 @@ def dense_bad(
         orientation: optional (B, 1, H, W) per-pixel orientation in radians; when
             given, pair offsets are rotated per pixel (rotation-invariant mode,
             `bad.py:112-187`); when None, the fast static-shift path is used.
-            NOTE: the oriented dense path gathers H*W*P samples and exists for
-            API parity — it is gather-bound on TPU. For keypoint workloads use
-            :func:`sparse_bad` (fused kernel); no reference export uses the
-            dense oriented mode.
+        oriented_route: how to evaluate the oriented dense map.
+            'gather' is the reference-shaped formulation (H*W*2P fused bilinear
+            gathers over the box bank) — measured at **5.5 s/frame** at
+            480x640/P=256 on v5e (`benchmarks/dense_oriented_bad.py`): gathers
+            are the single slowest pattern on TPU. 'tiled' treats every pixel
+            as a keypoint and streams row-chunks of the grid through the fused
+            sparse sampler (`kernels/sparse_sampler.py`) under ``lax.map`` —
+            ~30x faster on TPU, same replicate-border + clamp semantics, box
+            means within the kernel's bilinear tolerance (~2e-3). 'auto' picks
+            'tiled' when the default device is TPU-like and 'gather' on CPU
+            (where the gather formulation is the exact oracle). No reference
+            export uses the dense oriented mode; for keypoint workloads use
+            :func:`sparse_bad`.
 
     Returns:
         (B, P, H, W) descriptor map.
     """
+    if oriented_route not in ("auto", "gather", "tiled"):
+        raise ValueError(f"oriented_route must be auto|gather|tiled, got {oriented_route}")
     x = image.astype(jnp.float32)[:, 0]
     b, h, w = x.shape
     p = params.num_pairs
+
+    if orientation is not None and (
+            oriented_route == "tiled"
+            or (oriented_route == "auto" and _use_pallas_default())):
+        return _dense_oriented_tiled(image, params, orientation, binarize,
+                                     soft_binarize, temperature)
+
     bank = box_average_bank(x, params.max_radius)  # (B, R+1, H, W)
 
     if orientation is None:
@@ -158,6 +177,40 @@ def dense_bad(
 
     centered = diff - jnp.asarray(params.thresholds)[None, :, None, None]
     return _finalize(centered, binarize, soft_binarize, temperature)
+
+
+def _dense_oriented_tiled(image, params, orientation, binarize, soft_binarize,
+                          temperature):
+    """Dense oriented map via the fused sparse sampler: every pixel is a
+    keypoint, streamed in row-chunks under ``lax.map`` so only one chunk's
+    sample buffers are live. ~30x faster than the gather formulation on TPU
+    (0.18 s vs 5.5 s at 480x640/P=256); identical replicate-border + clamp
+    semantics."""
+    b, _, h, w = image.shape
+    rows = max(1, 4096 // w)
+    while (rows * w) % 8 != 0:  # Pallas tile divisibility (B*K % 8 == 0)
+        rows += 1
+    n_chunks = -(-h // rows)
+    hp = n_chunks * rows
+
+    ys = jnp.minimum(jnp.arange(hp, dtype=jnp.float32), float(h - 1))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)  # (hp, w, 2)
+    chunks = grid.reshape(n_chunks, rows * w, 2)
+
+    def one(kp):
+        kpb = jnp.broadcast_to(kp[None], (b, kp.shape[0], 2))
+        # binarize=False -> raw centered (s1 - s2 - threshold) values in the
+        # learned pair order; finalize once over the full map below.
+        return sparse_bad(image, kpb, params, orientation=orientation,
+                          binarize=False, normalize_descriptors=False,
+                          sampling_mode="bilinear")
+
+    descs = jax.lax.map(one, chunks)                   # (n_chunks, B, K, P)
+    descs = jnp.moveaxis(descs, 1, 0).reshape(b, hp * w, params.num_pairs)
+    centered = descs[:, :h * w]
+    out = _finalize(centered, binarize, soft_binarize, temperature)
+    return jnp.transpose(out, (0, 2, 1)).reshape(b, params.num_pairs, h, w)
 
 
 # Patch geometry for the sparse fast path: learned offsets live in [-16, 15]

@@ -166,3 +166,18 @@ def test_sparse_bad_tiny_image(rng):
     got = np.asarray(sparse_bad(jnp.asarray(img), jnp.asarray(kpts),
                                 load_bad_params(256)))
     np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-3)
+
+
+def test_dense_oriented_tiled_equals_gather(gray_image):
+    """The tiled route (pixel grid streamed through the sparse sampler) must
+    reproduce the gather-formulation oriented dense map."""
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(gray_image[:, :, :72, :96])
+    theta = jnp.asarray(
+        rng.uniform(-3, 3, (1, 1, 72, 96)).astype(np.float32))
+    params = load_bad_params(256)
+    g = np.asarray(dense_bad(img, params, orientation=theta,
+                             oriented_route="gather"))
+    t = np.asarray(dense_bad(img, params, orientation=theta,
+                             oriented_route="tiled"))
+    np.testing.assert_allclose(t, g, atol=2e-3)
