@@ -41,14 +41,22 @@ def _verify_roundtrip(path, name, height, width, overrides):
     import jax.numpy as jnp
     import numpy as np
 
+    from ..models.registry import arg_specs
+
     spec = models.get(name)
+    resolved = spec.defaults.with_(**overrides)
     rng = np.random.default_rng(0)
-    args = [jnp.asarray(rng.uniform(0, 255, (1, 1, height, width))
-                        .astype(np.float32)) for _ in range(spec.n_images)]
-    if spec.takes_k_inv:
-        args.append(jnp.asarray(np.linalg.inv(np.array(
-            [[500., 0, width / 2], [0, 500., height / 2], [0, 0, 1]],
-            np.float32))))
+    args = []
+    for s in arg_specs(spec, resolved, height, width):
+        if s.shape == (3, 3):  # camera K^-1 inputs: a plausible intrinsics
+            args.append(jnp.asarray(np.linalg.inv(np.array(
+                [[500., 0, width / 2], [0, 500., height / 2], [0, 0, 1]],
+                np.float32))))
+        elif s.shape == ():    # scalar inputs (e.g. voxel leaf size)
+            args.append(jnp.asarray(np.float32(0.05)))
+        else:
+            args.append(jnp.asarray(
+                rng.uniform(0, 255, s.shape).astype(s.dtype)))
     live = models.build(name, **overrides)(*args)
     loaded = models.load_exported(path)(*args)
     live = live if isinstance(live, tuple) else (live,)

@@ -39,11 +39,28 @@ from .extraction import with_match_extraction
 @dataclass(frozen=True)
 class PipelineSpec:
     name: str
-    fn: Callable            # fn(*images[, k_inv], cfg) -> outputs
-    n_images: int           # 1 or 2
+    fn: Callable            # fn(*inputs, cfg) -> outputs
+    n_images: int           # image-input count (0 for tensor-input pipelines)
     defaults: MatcherConfig
     description: str = ""
     takes_k_inv: bool = False  # essential-matrix pipelines take a (3,3) K^-1
+    # Non-image pipelines (standalone Sinkhorn / E estimator / voxel
+    # downsampling — reference export_{sinkhorn,essential_matrix_estimator,
+    # voxel_downsampling}.py) describe their inputs here:
+    # (cfg, height, width, batch) -> tuple[jax.ShapeDtypeStruct].
+    make_args: Callable | None = None
+
+
+def arg_specs(spec: "PipelineSpec", cfg: MatcherConfig, height: int,
+              width: int, batch: int = 1) -> tuple:
+    """Abstract input shapes for AOT lowering / export / verification."""
+    if spec.make_args is not None:
+        return tuple(spec.make_args(cfg, height, width, batch))
+    args = [jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
+            for _ in range(spec.n_images)]
+    if spec.takes_k_inv:
+        args.append(jax.ShapeDtypeStruct((3, 3), jnp.float32))
+    return tuple(args)
 
 
 _REGISTRY: dict[str, PipelineSpec] = {}
@@ -87,11 +104,9 @@ def compile_model(name: str, height: int, width: int, batch: int = 1,
     """
     spec = get(name)
     fn = build(name, cfg, **overrides)
-    args = [jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
-            for _ in range(spec.n_images)]
-    if spec.takes_k_inv:
-        args.append(jax.ShapeDtypeStruct((3, 3), jnp.float32))
-    return fn.lower(*args).compile()
+    resolved = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) \
+        else spec.defaults
+    return fn.lower(*arg_specs(spec, resolved, height, width, batch)).compile()
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +199,78 @@ register(PipelineSpec(
     akaze_sparse_bad_sinkhorn_essential_match, 2,
     MatcherConfig(num_pairs=512, max_keypoints=1024, epsilon=0.05, nms_radius=3),
     "AKAZE matcher + in-graph essential matrix", takes_k_inv=True))
+
+# ---------------------------------------------------------------------------
+# Standalone non-composite exports — the reference ships these as their own
+# .onnx artifacts (`onnx_export/export_bad.py`, `export_sinkhorn.py`,
+# `export_essential_matrix_estimator.py`, `export_voxel_downsampling.py`).
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from ..geometry import estimate_essential_matrix
+from ..ops import dense_bad, load_bad_params, sinkhorn_match, voxel_downsampling
+
+register(PipelineSpec(
+    "bad",
+    lambda img, cfg: dense_bad(img, load_bad_params(cfg.num_pairs),
+                               binarize=cfg.binarize,
+                               soft_binarize=cfg.soft_binarize,
+                               temperature=cfg.temperature),
+    1, _BASE,
+    "dense BAD descriptor map (standalone; reference export_bad.py with "
+    "--binarization none|soft|hard = binarize/soft_binarize flags)"))
+
+register(PipelineSpec(
+    "sinkhorn",
+    lambda d1, d2, cfg: sinkhorn_match(
+        d1, d2, iterations=cfg.sinkhorn_iterations, epsilon=cfg.epsilon,
+        unused_score=cfg.unused_score, distance_type=cfg.distance_type),
+    0, _BASE,
+    "standalone Sinkhorn matcher on (B, K, D) descriptor tensors "
+    "(reference export_sinkhorn.py)",
+    make_args=lambda cfg, h, w, b: (
+        jax.ShapeDtypeStruct((b, cfg.max_keypoints, cfg.num_pairs),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((b, cfg.max_keypoints, cfg.num_pairs),
+                             jnp.float32))))
+
+
+def _essential_grid_side(cfg: MatcherConfig) -> int:
+    return max(2, _math.isqrt(cfg.max_keypoints))
+
+
+register(PipelineSpec(
+    "essential_matrix_estimator",
+    lambda p, k_inv, cfg: estimate_essential_matrix(
+        p, k_inv,
+        image_shape=(_essential_grid_side(cfg), _essential_grid_side(cfg))),
+    0, _BASE,
+    "standalone grid-variant weighted-8-point E estimator on a Sinkhorn "
+    "matrix (reference export_essential_matrix_estimator.py; feature index i "
+    "maps to a sqrt(K) x sqrt(K) pixel grid)",
+    make_args=lambda cfg, h, w, b: (
+        jax.ShapeDtypeStruct((_essential_grid_side(cfg) ** 2 + 1,
+                              _essential_grid_side(cfg) ** 2 + 1),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((3, 3), jnp.float32))))
+
+# Input point count for the standalone voxel-downsampling export. The
+# reference uses dynamic N (`export_voxel_downsampling.py:76-82`); under XLA
+# the executable is specialized per N, so the registry pins a deployment size
+# (override via config-free recompile at any other N through the op itself).
+VOXEL_EXPORT_POINTS = 8192
+
+register(PipelineSpec(
+    "voxel_downsampling",
+    lambda pts, leaf, cfg: voxel_downsampling(pts, leaf),
+    0, _BASE,
+    "standalone voxel-grid downsampling: (N, 3) points + scalar leaf size -> "
+    "(N, 3) centroids + validity mask (reference export_voxel_downsampling.py)",
+    make_args=lambda cfg, h, w, b: (
+        jax.ShapeDtypeStruct((VOXEL_EXPORT_POINTS, 3), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32))))
+
 
 for _name in ("shi_tomasi_sparse_bad_sinkhorn",
               "shi_tomasi_angle_sparse_bad_sinkhorn",

@@ -43,10 +43,9 @@ def export_model(name: str, height: int, width: int, batch: int = 1,
             cfg is None or cfg.use_pallas is None):
         overrides["use_pallas"] = platform == "tpu"
     fn = registry.build(name, cfg, **overrides)
-    args = [jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
-            for _ in range(spec.n_images)]
-    if spec.takes_k_inv:
-        args.append(jax.ShapeDtypeStruct((3, 3), jnp.float32))
+    resolved = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) \
+        else spec.defaults
+    args = registry.arg_specs(spec, resolved, height, width, batch)
     platforms = (platform,) if platform is not None else None
     return jax.export.export(fn, platforms=platforms)(*args)
 

@@ -72,3 +72,36 @@ def test_export_cli_writes_and_verifies(tmp_path, capsys):
     assert "verified" in out
     files = sorted(os.listdir(tmp_path))
     assert files == ["fast.cpu.jaxexport", "shi_tomasi.cpu.jaxexport"]
+
+
+@pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",
+                                  "voxel_downsampling", "bad"])
+def test_standalone_export_roundtrip(name, tmp_path):
+    """The reference's four standalone exports (export_{bad,sinkhorn,
+    essential_matrix_estimator,voxel_downsampling}.py) must serialize and
+    reload bit-exactly through the generalized registry input specs."""
+    from onnx_image_processing_tpu.models.registry import arg_specs
+
+    spec = models.get(name)
+    cfg = spec.defaults.with_(max_keypoints=64, num_pairs=256)
+    exported = models.export_model(name, 64, 80, cfg=cfg, platform="cpu")
+    path = models.save_exported(
+        exported, models.artifact_path(str(tmp_path), name, "cpu"))
+
+    rng = np.random.default_rng(3)
+    args = []
+    for s in arg_specs(spec, cfg, 64, 80):
+        if s.shape == (3, 3):
+            args.append(jnp.asarray(np.linalg.inv(np.array(
+                [[100., 0, 40], [0, 100., 32], [0, 0, 1]], np.float32))))
+        elif s.shape == ():
+            args.append(jnp.asarray(np.float32(0.05)))
+        else:
+            args.append(jnp.asarray(
+                rng.uniform(0, 1, s.shape).astype(s.dtype)))
+    live = models.build(name, cfg)(*args)
+    loaded = models.load_exported(path)(*args)
+    live = live if isinstance(live, tuple) else (live,)
+    loaded = loaded if isinstance(loaded, (tuple, list)) else (loaded,)
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
