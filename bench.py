@@ -29,19 +29,14 @@ PEAK_BF16_FLOPS = 1.97e14  # v5e
 
 
 def main(argv=None) -> None:
-    profile = "--profile" in (argv or sys.argv[1:])
+    profile = "--profile" in (argv if argv is not None else sys.argv[1:])
 
     import jax
-
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/oip_tpu_xla"))
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
 
-    from benchmarks.timing import chain_time, device_trace_time
+    from benchmarks.timing import chain_time, device_trace_time, setup_cache
+
+    setup_cache()
     from onnx_image_processing_tpu import models
     from onnx_image_processing_tpu.models.shi_tomasi_family import (
         shi_tomasi_angle_sparse_bad_sinkhorn_match,
@@ -74,9 +69,9 @@ def main(argv=None) -> None:
             ca = fn.lower(img1, img2).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
-            flops = float(ca.get("flops", float("nan")))
+            flops = float(ca.get("flops", 0.0)) or None
         except Exception:
-            flops = float("nan")
+            flops = None  # keep the output strict JSON (no NaN literals)
         print(json.dumps({
             "profile": "flagship_512kpt",
             "chain_ms_per_frame": round(ms_per_frame, 4),
@@ -84,7 +79,7 @@ def main(argv=None) -> None:
                 None if dev_ms is None else round(dev_ms, 4),
             "flops_per_frame": flops,
             "mfu_bf16_pct":
-                None if not dev_ms else round(
+                None if not (dev_ms and flops) else round(
                     100.0 * flops / (dev_ms * 1e-3) / PEAK_BF16_FLOPS, 2),
         }))
 

@@ -34,11 +34,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/oip_tpu_xla"))
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from benchmarks.timing import setup_cache
+
+    setup_cache()
 
     from onnx_image_processing_tpu.ops import (
         dense_bad, load_bad_params, sparse_bad)

@@ -36,13 +36,9 @@ PEAK_HBM_BYTES = 8.1e11
 
 
 def _setup_cache():
-    import jax
+    from benchmarks.timing import setup_cache
 
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/oip_tpu_xla"))
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_cache()
 
 
 def _images(h=480, w=640, b=2, seed=0):
@@ -107,7 +103,7 @@ def profile_flagship(kpts: int, num_pairs: int = 512):
 
     from onnx_image_processing_tpu import models
     from onnx_image_processing_tpu.models.shi_tomasi_family import (
-        _resolve_border_margin, _select_keypoints, _sparse_detect_describe,
+        _resolve_border_margin, _select_keypoints,
         shi_tomasi_angle_sparse_bad_sinkhorn_match)
     from onnx_image_processing_tpu.ops import (
         angle_estimation, load_bad_params, shi_tomasi_score, sinkhorn_match,

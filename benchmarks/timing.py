@@ -29,6 +29,19 @@ import time
 import numpy as np
 
 
+def setup_cache():
+    """Enable the persistent XLA compilation cache (shared by every benchmark
+    entry point; the CLIs have their own copy in cli/common.select_platform,
+    which package code must not import from benchmarks)."""
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/oip_tpu_xla"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _once(fn, args):
     t0 = time.perf_counter()
     out = fn(*args)

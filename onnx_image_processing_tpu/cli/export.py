@@ -80,13 +80,9 @@ def main(argv=None):
             overrides["max_keypoints"] = args.max_keypoints
         t0 = time.perf_counter()
         try:
-            compiled = models.compile_model(name, args.height, args.width,
-                                            **overrides)
-            dt = time.perf_counter() - t0
-            cost = compiled.cost_analysis()
-            flops = (cost or {}).get("flops", float("nan"))
-            line = f"[OK]   {name}: compiled in {dt:.1f}s, {flops:.3g} flops"
             if args.output_dir:
+                # The export IS the compile check (it traces and lowers the
+                # same graph); don't also build a throwaway AOT executable.
                 exported = models.export_model(
                     name, args.height, args.width, platform=platform,
                     **overrides)
@@ -96,9 +92,18 @@ def main(argv=None):
                 if not args.no_verify:
                     _verify_roundtrip(path, name, args.height, args.width,
                                       overrides)
-                line += (f" -> {os.path.basename(path)} "
-                         f"({os.path.getsize(path) / 1e6:.2f} MB"
-                         f"{', verified' if not args.no_verify else ''})")
+                dt = time.perf_counter() - t0
+                line = (f"[OK]   {name}: exported in {dt:.1f}s -> "
+                        f"{os.path.basename(path)} "
+                        f"({os.path.getsize(path) / 1e6:.2f} MB"
+                        f"{', verified' if not args.no_verify else ''})")
+            else:
+                compiled = models.compile_model(name, args.height, args.width,
+                                                **overrides)
+                dt = time.perf_counter() - t0
+                cost = compiled.cost_analysis()
+                flops = (cost or {}).get("flops", float("nan"))
+                line = f"[OK]   {name}: compiled in {dt:.1f}s, {flops:.3g} flops"
             print(line)
         except Exception as err:  # report every failure, keep going
             failures.append(name)

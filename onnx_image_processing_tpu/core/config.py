@@ -77,6 +77,11 @@ class MatcherConfig:
     nms_radius: int = 3
     score_threshold: float = 0.0
     border_margin: int | None = None
+    # "block": block-reduced top-k (sort over per-(r+1)^2 block maxima — 16-36x
+    # less sort work; collapses exact same-block score TIES to one keypoint
+    # where the reference keeps every tied copy; see ops/keypoints.py).
+    # "sort": reference-exact flat top-k over H*W.
+    topk_mode: str = "block"
 
     # Shi-Tomasi detector
     block_size: int = 3

@@ -49,12 +49,14 @@ def _resolve_border_margin(cfg: MatcherConfig, sparse: bool) -> int:
 def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
     scores = scores_b1hw[:, 0]
     mask = nms_maxpool(scores, cfg.nms_radius)
-    # nms_radius enables block-reduced top-k (sort over H*W/(r+1)^2 block
-    # maxima instead of H*W) — lossless for the continuous-score detectors
-    # used by every pipeline here; see select_topk_keypoints.
+    # topk_mode="block" (default) sorts per-(r+1)^2 block maxima instead of
+    # H*W — exact for the continuous-score detectors used here except at
+    # same-block score ties, where the reference keeps every tied copy;
+    # cfg.topk_mode="sort" restores the reference-exact flat top-k.
+    block_r = cfg.nms_radius if cfg.topk_mode == "block" else None
     return select_topk_keypoints(scores, mask, cfg.max_keypoints,
                                  cfg.score_threshold, margin,
-                                 nms_radius=cfg.nms_radius)
+                                 nms_radius=block_r)
 
 
 # ---------------------------------------------------------------------------

@@ -53,16 +53,18 @@ def select_topk_keypoints(
     * ``nms_radius=None``: flat ``lax.top_k`` over H*W — exact for any input,
       including maps with massive score ties (e.g. binary FAST maps).
     * ``nms_radius=r`` (the radius the ``nms_mask`` was built with): the map is
-      first reduced by a per-(r+1)x(r+1)-block max. NMS guarantees any two
-      survivors within Chebyshev distance r have scores equal to within 1e-7
-      (each bounds the other via the shared window), so for detectors with
-      continuous scores each block holds at most one distinct survivor and the
-      reduction is lossless; the sort then runs on H*W/(r+1)^2 elements (36x
-      fewer at r=5) instead of the full map. Exact score ties inside one block
-      collapse to their first (raster-order) representative — the reference's
-      own top-k orders such ties arbitrarily, so match parity is unaffected
-      for float-scored detectors. Do NOT pass ``nms_radius`` for binary or
-      quantized score maps.
+      first reduced by a per-(r+1)x(r+1)-block max; the sort then runs on
+      H*W/(r+1)^2 elements (36x fewer at r=5) instead of the full map. NMS
+      guarantees any two survivors within Chebyshev distance r have scores
+      equal to within 1e-7 (each bounds the other via the shared window), so a
+      block can only hold multiple survivors when their scores TIE — and then
+      the block keeps one representative (first in raster order) where the
+      flat sort, like the reference's top-k, would keep every tied copy in
+      separate slots. For float-scored detectors on real images exact ties
+      within distance r are probability-zero, making the reduction lossless
+      in practice; for binary/quantized score maps (FAST) or synthetic
+      saturated patterns it changes the keypoint set — use the flat path
+      there (``MatcherConfig.topk_mode="sort"`` at the pipeline level).
 
     Args:
         scores: (B, H, W).

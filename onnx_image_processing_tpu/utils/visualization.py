@@ -103,6 +103,10 @@ def draw_vo_overlay(
     sx, sy = fw / model_width, fh / model_height
     base_r = max(1, int(3 * size_scale))
 
+    # Color precedence mirrors the reference exactly
+    # (`sample/visual_odometry.py:265-285`), including its quirk on
+    # rejected-pose frames: inliers of a rejected pose fall through to yellow
+    # ("no pose") while its outliers still draw red.
     for i, (y, x) in enumerate(np.asarray(matched_kpts2).reshape(-1, 2)):
         px, py = int(x * sx), int(y * sy)
         if pose_updated and inlier_mask is not None and inlier_mask[i]:
