@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--nms-radius", type=int, default=3)
     p.add_argument("--no-subpixel", action="store_true",
                    help="disable sub-pixel parabola refinement")
+    p.add_argument("--circle-radius", type=int, default=3,
+                   help="keypoint circle radius in the visualization")
+    p.add_argument("--colorize", action="store_true",
+                   help="color keypoints by score (blue=low, red=high)")
     p.add_argument("--benchmark", action="store_true",
                    help="print warmup+timed ms/frame")
     # Detector hyperparameters (reference export flags: `export_fast.py:44-60`,
@@ -87,7 +91,8 @@ def main(argv=None):
     if len(kpts):
         print(f"Score range: [{kpts[:, 2].min():.4f}, {kpts[:, 2].max():.4f}]")
 
-    vis = visualize_keypoints(rgb, kpts)
+    vis = visualize_keypoints(rgb, kpts, radius=args.circle_radius,
+                              colorize_by_score=args.colorize)
     vis.save(args.output)
     print(f"Saved visualization to {args.output}")
     return 0

@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--match-threshold", "-t", type=float, default=0.1)
     p.add_argument("--max-matches", type=int, default=100)
     p.add_argument("--no-benchmark", action="store_true")
+    p.add_argument("--colorize", action="store_true",
+                   help="color match lines by confidence (blue=low, red=high)")
     add_platform_arg(p)
     return p.parse_args(argv)
 
@@ -63,7 +65,8 @@ def main(argv=None):
     print(f"Keypoints: {n_valid1} / {n_valid2}")
     print(f"Matches: {len(mk1)} (threshold={args.match_threshold})")
 
-    vis = visualize_matches(rgb1, rgb2, mk1, mk2, scores)
+    vis = visualize_matches(rgb1, rgb2, mk1, mk2, scores,
+                            colorize_by_score=args.colorize)
     vis.save(args.output)
     print(f"Saved visualization to {args.output}")
     return 0

@@ -31,6 +31,8 @@ def parse_args(argv=None):
                    help="override pipeline max matches")
     p.add_argument("--match-threshold", "-t", type=float, default=None)
     p.add_argument("--no-benchmark", action="store_true")
+    p.add_argument("--colorize", action="store_true",
+                   help="color match lines by confidence (blue=low, red=high)")
     add_platform_arg(p)
     return p.parse_args(argv)
 
@@ -61,7 +63,8 @@ def main(argv=None):
     mk1, mk2, scores = mk1[0][keep], mk2[0][keep], scores[0][keep]
     print(f"Matches: {len(mk1)}")
 
-    vis = visualize_matches(rgb1, rgb2, mk1, mk2, scores)
+    vis = visualize_matches(rgb1, rgb2, mk1, mk2, scores,
+                            colorize_by_score=args.colorize)
     vis.save(args.output)
     print(f"Saved visualization to {args.output}")
     return 0

@@ -35,17 +35,24 @@ class VideoReader:
     """
 
     def __init__(self, source: str, camera_type: str = "opencv",
-                 camera_id: int = 0):
+                 camera_id: int = 0, camera_width: int = 640,
+                 camera_height: int = 480, camera_fps: int = 30):
         self.is_camera = source == "camera"
         self.camera = None
         self._cap = None
         self._files: list[str] = []
         self._idx = 0
         if self.is_camera:
-            self.camera = create_camera(camera_type, device_id=camera_id) \
-                if camera_type == "opencv" else create_camera(camera_type)
+            if camera_type == "opencv":
+                self.camera = create_camera(camera_type, device_id=camera_id)
+            else:
+                self.camera = create_camera(camera_type, width=camera_width,
+                                            height=camera_height,
+                                            fps=camera_fps)
             if not self.camera.open():
                 raise RuntimeError(f"failed to open camera {camera_type}")
+            if camera_type == "opencv":
+                self.camera.set_resolution(camera_width, camera_height)
             self.total_frames = float("inf")
         elif os.path.isdir(source):
             exts = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
@@ -250,11 +257,23 @@ def parse_args(argv=None):
     p.add_argument("--model", "-m",
                    default="shi_tomasi_angle_sparse_bad_sinkhorn",
                    help=f"matcher pipeline; one of {models.names()}")
-    p.add_argument("--input", "-i", required=True,
-                   help="video file, image directory, or 'camera'")
-    p.add_argument("--camera-type", default="opencv",
-                   choices=["opencv", "realsense", "orbbec", "oak"])
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", "-i",
+                     help="video file, image directory, or 'camera'")
+    # Reference-style mutually-exclusive source aliases
+    # (`sample/visual_odometry.py` --video/--image-dir/--camera).
+    src.add_argument("--video", "-v", help="input video file path")
+    src.add_argument("--image-dir", "-d", help="input image directory path")
+    src.add_argument("--camera", "-c", type=int, default=None,
+                     help="webcam device ID")
+    p.add_argument("--camera-type", "--camera-backend", default="opencv",
+                   choices=["opencv", "realsense", "orbbec", "oak"],
+                   dest="camera_type")
     p.add_argument("--camera-id", type=int, default=0)
+    p.add_argument("--camera-width", type=int, default=640,
+                   help="camera capture resolution width")
+    p.add_argument("--camera-height", type=int, default=480)
+    p.add_argument("--camera-fps", type=int, default=30)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--fx", type=float, default=None)
@@ -270,19 +289,34 @@ def parse_args(argv=None):
     p.add_argument("--max-reference-age", type=int, default=30)
     p.add_argument("--skip-frames", type=int, default=1)
     p.add_argument("--max-frames", type=int, default=None)
-    p.add_argument("--output", "-o", default=None, help="trajectory .npz path")
-    p.add_argument("--plot", default=None, help="trajectory plot .png path")
+    p.add_argument("--output", "-o", "--save-trajectory", default=None,
+                   dest="output", help="trajectory .npz path")
+    p.add_argument("--plot", "--save-plot", default=None, dest="plot",
+                   help="trajectory plot .png path")
+    p.add_argument("--plot-3d", action="store_true",
+                   help="3D trajectory plot instead of 2D")
     p.add_argument("--display", action="store_true")
-    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--quiet", "-q", action="store_true")
     add_platform_arg(p)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # Fold the reference-style source aliases into the single source field.
+    if args.video is not None:
+        args.input = args.video
+    elif args.image_dir is not None:
+        args.input = args.image_dir
+    elif args.camera is not None:
+        args.input = "camera"
+        args.camera_id = args.camera
+    return args
 
 
 def main(argv=None):
     args = parse_args(argv)
     select_platform(args.platform)
 
-    reader = VideoReader(args.input, args.camera_type, args.camera_id)
+    reader = VideoReader(args.input, args.camera_type, args.camera_id,
+                         args.camera_width, args.camera_height,
+                         args.camera_fps)
 
     # Intrinsics: manual flags, camera auto-detect, or a default guess —
     # rescaled to the model resolution (`sample/visual_odometry.py:918-971`).
@@ -341,7 +375,7 @@ def main(argv=None):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        ax = traj.plot_2d()
+        ax = traj.plot_3d() if args.plot_3d else traj.plot_2d()
         ax.figure.savefig(args.plot, dpi=120)
         plt.close(ax.figure)
         print(f"Trajectory plot saved to {args.plot}")

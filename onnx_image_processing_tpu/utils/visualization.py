@@ -21,8 +21,12 @@ def _jet(v: float):
 
 
 def visualize_keypoints(image_rgb: Image.Image, keypoints: np.ndarray,
-                        radius: int = 3) -> Image.Image:
-    """Draw (y, x, score) keypoints colored by normalized score."""
+                        radius: int = 3,
+                        colorize_by_score: bool = False,
+                        color: tuple = (0, 255, 0)) -> Image.Image:
+    """Draw (y, x, score) keypoints: solid ``color`` by default, jet-mapped by
+    normalized score with ``colorize_by_score`` (reference semantics,
+    `sample/feature_detection.py:250-299` --colorize)."""
     out = image_rgb.copy()
     draw = ImageDraw.Draw(out)
     if keypoints.shape[0]:
@@ -30,16 +34,19 @@ def visualize_keypoints(image_rgb: Image.Image, keypoints: np.ndarray,
         smax = float(keypoints[:, 2].max())
         span = max(smax - smin, 1e-12)
         for y, x, s in keypoints:
-            color = _jet((float(s) - smin) / span)
+            c = _jet((float(s) - smin) / span) if colorize_by_score else color
             draw.ellipse([x - radius, y - radius, x + radius, y + radius],
-                         outline=color, width=2)
+                         outline=c, width=2)
     return out
 
 
 def visualize_matches(image1_rgb: Image.Image, image2_rgb: Image.Image,
                       matched_kpts1: np.ndarray, matched_kpts2: np.ndarray,
-                      scores: np.ndarray | None = None) -> Image.Image:
-    """Side-by-side images with match lines colored by score."""
+                      scores: np.ndarray | None = None,
+                      colorize_by_score: bool = False) -> Image.Image:
+    """Side-by-side images with match lines: solid green by default, jet-
+    mapped by score with ``colorize_by_score`` (reference semantics,
+    `sample/image_matching.py:151-218` --colorize)."""
     w1, h1 = image1_rgb.size
     w2, h2 = image2_rgb.size
     canvas = Image.new("RGB", (w1 + w2, max(h1, h2)), (0, 0, 0))
@@ -52,7 +59,8 @@ def visualize_matches(image1_rgb: Image.Image, image2_rgb: Image.Image,
     smin = float(scores.min()) if n else 0.0
     span = max((float(scores.max()) - smin) if n else 1.0, 1e-12)
     for (y1, x1), (y2, x2), s in zip(matched_kpts1, matched_kpts2, scores):
-        color = _jet((float(s) - smin) / span)
+        color = (_jet((float(s) - smin) / span) if colorize_by_score
+                 else (0, 255, 0))
         draw.line([x1, y1, x2 + w1, y2], fill=color, width=1)
         draw.ellipse([x1 - 2, y1 - 2, x1 + 2, y1 + 2], fill=color)
         draw.ellipse([x2 + w1 - 2, y2 - 2, x2 + w1 + 2, y2 + 2], fill=color)

@@ -180,3 +180,40 @@ def test_feature_detection_cli_detector_flags(photo, tmp_path, capsys):
                 if l.startswith("Detected")][0]
         counts[thr] = int(line.split()[1])
     assert counts[10.0] > counts[60.0] > 0
+
+
+def test_vo_cli_reference_flag_aliases(tmp_path):
+    """Reference README flag surface: --image-dir/-d source selection,
+    --save-trajectory/--save-plot aliases, --plot-3d."""
+    rng = np.random.default_rng(8)
+    yy, xx = np.mgrid[0:160, 0:320].astype(np.float32)
+    big = np.clip(127 + 90 * np.sin(xx / 12) * np.cos(yy / 10)
+                  + rng.normal(0, 4, (160, 320)), 0, 255).astype(np.uint8)
+    frames = os.path.join(tmp_path, "frames")
+    os.makedirs(frames)
+    for i in range(4):
+        Image.fromarray(big[20:140, i * 12:i * 12 + 160]).save(
+            os.path.join(frames, f"f{i:03d}.png"))
+
+    traj = os.path.join(tmp_path, "t.npz")
+    plot = os.path.join(tmp_path, "t3d.png")
+    rc = visual_odometry.main([
+        "--image-dir", frames, "--height", "120", "--width", "160",
+        "--fx", "120", "--skip-frames", "0", "--min-matches", "8",
+        "--max-matches", "64", "--save-trajectory", traj,
+        "--save-plot", plot, "--plot-3d", "-q", "--platform", "cpu"])
+    assert rc == 0 and os.path.exists(traj)
+    assert os.path.exists(plot) and os.path.getsize(plot) > 0
+
+
+def test_feature_detection_cli_colorize(photo, tmp_path):
+    out1 = os.path.join(tmp_path, "plain.png")
+    out2 = os.path.join(tmp_path, "colored.png")
+    for out, extra in ((out1, []), (out2, ["--colorize", "--circle-radius", "5"])):
+        rc = feature_detection.main([
+            "-i", photo[0], "-o", out, "--height", "120", "--width", "160",
+            "--max-keypoints", "50", "--platform", "cpu"] + extra)
+        assert rc == 0 and os.path.exists(out)
+    a = np.asarray(Image.open(out1))
+    b = np.asarray(Image.open(out2))
+    assert a.shape == b.shape and (a != b).any()
