@@ -84,3 +84,40 @@ def test_dryrun_multichip_subprocess():
         cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "DRYRUN_OK" in proc.stdout
+
+
+def test_stream_map_matches_sequential():
+    """Pipelined streaming must produce exactly the sequential results, in
+    order, at every depth."""
+    from onnx_image_processing_tpu.parallel import stream_map
+
+    f = jax.jit(lambda x: (x * 2.0, x.sum()))
+    xs = [jnp.full((4, 4), float(i)) for i in range(7)]
+    seq = [jax.device_get(f(x)) for x in xs]
+    for depth in (1, 2, 4, 16):
+        out = list(stream_map(f, xs, depth=depth))
+        assert len(out) == len(seq)
+        for (a1, b1), (a2, b2) in zip(out, seq):
+            np.testing.assert_array_equal(a1, a2)
+            np.testing.assert_array_equal(b1, b2)
+
+
+def test_stream_map_tuple_inputs_and_laziness():
+    from onnx_image_processing_tpu.parallel import stream_map
+
+    f = jax.jit(lambda a, b: a + b)
+    produced = []
+
+    def gen():
+        for i in range(5):
+            produced.append(i)
+            yield (jnp.float32(i), jnp.float32(10 * i))
+
+    it = stream_map(f, gen(), depth=2)
+    first = next(it)
+    # depth=2 window: the first yield happens once depth+1 inputs have been
+    # consumed (the yielded one + `depth` in flight) — the stream is lazy.
+    assert produced == [0, 1, 2]
+    assert float(first) == 0.0
+    rest = list(it)
+    assert [float(r) for r in rest] == [11.0, 22.0, 33.0, 44.0]
