@@ -209,9 +209,12 @@ def _sample_kernel(
         if bilinear:
             x_hi = ohx_c.astype(jnp.bfloat16).astype(jnp.float32)
             x_lo = ohx_c - x_hi
-            i_cat = jnp.concatenate([i1, i2, i3, i1, i2, i3], axis=1)
-            x_cat = jnp.concatenate([x_hi, x_hi, x_hi, x_lo, x_lo, x_lo],
-                                    axis=0)
+            # The i3*x_lo cross term is dropped: |i3| <= |I|*2^-18 (~0.02) and
+            # |x_lo| <= 2^-9, so its box-sum contribution is <= ~1e-4 — two
+            # orders below the bilinear path's 2e-3 accuracy — and skipping it
+            # packs K = 5*(psi+1) = 355 -> 3 128-wide K-tiles instead of 4.
+            i_cat = jnp.concatenate([i1, i2, i3, i1, i2], axis=1)
+            x_cat = jnp.concatenate([x_hi, x_hi, x_hi, x_lo, x_lo], axis=0)
         else:
             i_cat = jnp.concatenate([i1, i2, i3], axis=1)   # (n_i, 3*n_i)
             x_cat = jnp.concatenate([ohx_c] * 3, axis=0)    # (3*n_i, S)
