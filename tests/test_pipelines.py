@@ -341,3 +341,21 @@ def test_single_image_detector_parity(gray_image):
     close = np.isclose(np.asarray(desc)[0][perm], d_e.numpy()[0],
                        atol=2e-3, rtol=1e-3)
     assert close.mean() > 0.995  # nearest-rounding ties at rotated offsets
+
+
+@pytest.mark.parametrize("hw", [(123, 157), (96, 640), (481, 130)])
+def test_flagship_odd_sizes(hw):
+    """Non-aligned image sizes must flow through every stage (block top-k
+    padding, sampler window clamping, stacked-pair batching) without NaNs."""
+    h, w = hw
+    rng = np.random.default_rng(hash(hw) % 2**31)
+    i1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    cfg = MatcherConfig(max_keypoints=48, num_pairs=256, block_size=5)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn", cfg)
+    k1, k2, p = fn(i1, i2)
+    k1, k2, p = np.asarray(k1), np.asarray(k2), np.asarray(p)
+    assert p.shape == (1, 49, 49) and np.isfinite(p).all()
+    valid = k1[0, :, 0] >= 0
+    assert valid.any()
+    assert (k1[0][valid, 0] < h).all() and (k1[0][valid, 1] < w).all()
