@@ -125,6 +125,14 @@ class MatcherConfig:
     # CPU mesh (e.g. the multichip dry run).
     use_pallas: bool | None = None
 
+    # Promise that input pixel values are integers (true for uint8-derived
+    # images, i.e. everything the CLIs load). Routes the nearest-mode Pallas
+    # descriptor sampler through an int8-digit MXU contraction whose box sums
+    # are EXACT (zero rounding; the bf16x3 default is ~3e-5). Measured ~15%
+    # slower than the default on v5e, so it is an exactness option, not a
+    # perf one (see kernels/sparse_sampler.py).
+    integer_image: bool = False
+
     def with_(self, **kwargs) -> "MatcherConfig":
         """Replace fields. Flat sub-config keys are accepted with their prefix:
         ``fast_threshold=30`` == ``fast=cfg.fast.with_(threshold=30)``; same for

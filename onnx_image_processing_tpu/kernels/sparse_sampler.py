@@ -68,6 +68,7 @@ def _sample_kernel(
     r_max: int,
     groups: tuple,   # ((radius, lo, hi), ...) contiguous over the S axis
     bilinear: bool,
+    integer_exact: bool,
 ):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -202,6 +203,39 @@ def _sample_kernel(
         # f32 epilogue.
         ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
         ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
+
+        if integer_exact and not bilinear:
+            # Integer-image exact path: pixel values are integers (uint8-
+            # derived), so 2*centered is an exact integer and the integral
+            # fits 21 bits (<= 2 * psi^2 * 127.5 ~ 1.25M). Decompose into
+            # three signed base-256 digit planes and contract against int8
+            # +/-1 corner columns with int32 accumulation — box sums are
+            # EXACT (the bf16x3 split is ~3e-5). Digit planes stack along M
+            # (scales differ per plane, so K-packing can't fold them); the
+            # 65536/256 recombination runs in the f32 epilogue. Measured ~15%
+            # slower than the bf16x3 path on v5e (Mosaic does not hit the 2x
+            # int8 MXU rate at these shapes), so this is an opt-in exactness
+            # mode, not the default.
+            vi = jnp.round(2.0 * cc).astype(jnp.int32)
+            vi = jnp.pad(vi, ((1, 0), (1, 0)))
+            d0 = ((vi + 128) % 256) - 128
+            rem = (vi - d0) // 256
+            d1 = ((rem + 128) % 256) - 128
+            d2 = (rem - d1) // 256                  # |d2| <= ~39
+            m_cat = jnp.concatenate(
+                [d2.astype(jnp.int8), d1.astype(jnp.int8),
+                 d0.astype(jnp.int8)], axis=0)      # (3*n_i, n_i)
+            ohx_i8 = ohx_c.astype(jnp.int8)
+            rows3 = jax.lax.dot_general(
+                m_cat, ohx_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)   # (3*n_i, S)
+            rows_i = (rows3[:n_i] * 65536 + rows3[n_i:2 * n_i] * 256
+                      + rows3[2 * n_i:])
+            rows = rows_i.astype(jnp.float32) * 0.5
+            box_sum = (rows * ohy_c).sum(axis=0)
+            out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
+            continue
+
         i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
         r1 = integ - i1
         i2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
@@ -225,7 +259,8 @@ def _sample_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ps", "r_max", "groups", "bilinear", "tile", "interpret"))
+    static_argnames=("ps", "r_max", "groups", "bilinear", "tile", "interpret",
+                     "integer_exact"))
 def sparse_box_sample(
     image_padded: jax.Array,   # (B, H + 2*r_max, W + 2*r_max) f32
     start_y: jax.Array,        # (B, K) int32, multiples of 8 (unpadded coords)
@@ -238,6 +273,7 @@ def sparse_box_sample(
     bilinear: bool = False,
     tile: int = 8,
     interpret: bool = False,
+    integer_exact: bool = False,
 ) -> jax.Array:
     """Sample per-keypoint box averages; returns (B, K, S).
 
@@ -283,7 +319,7 @@ def sparse_box_sample(
 
     kernel = functools.partial(
         _sample_kernel, tile=tile, n_kpts=k, ps=ps, r_max=r_max,
-        groups=groups, bilinear=bilinear)
+        groups=groups, bilinear=bilinear, integer_exact=integer_exact)
 
     out = pl.pallas_call(
         kernel,

@@ -51,7 +51,8 @@ def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
-                      use_pallas=cfg.use_pallas)
+                      use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,

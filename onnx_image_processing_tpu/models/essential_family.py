@@ -53,7 +53,8 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
-                      use_pallas=cfg.use_pallas)
+                      use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
     kpts1, kpts2 = _split_pair(kpts)
     ks1, ks2 = _split_pair(kscores)
     desc1, desc2 = _split_pair(desc)

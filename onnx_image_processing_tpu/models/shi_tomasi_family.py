@@ -103,7 +103,8 @@ def shi_tomasi_angle_sparse_bad_describe(image: jax.Array, keypoints: jax.Array,
                       orientation=angles, binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode=cfg.sampling_mode, use_pallas=cfg.use_pallas)
+                      sampling_mode=cfg.sampling_mode, use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
     return scores, angles, desc
 
 
@@ -126,7 +127,8 @@ def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
-                      use_pallas=cfg.use_pallas)
+                      use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
     return kpts, kscores, desc
 
 
@@ -172,7 +174,8 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
                       orientation=None, binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode="bilinear", use_pallas=cfg.use_pallas)
+                      sampling_mode="bilinear", use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
 
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
@@ -197,7 +200,8 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
-                      use_pallas=cfg.use_pallas)
+                      use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
     return kpts, desc
 
 

@@ -240,6 +240,7 @@ def sparse_bad(
     normalize_descriptors: bool = True,
     sampling_mode: str = "nearest",
     use_pallas: bool | None = None,
+    integer_image: bool = False,
 ) -> jax.Array:
     """BAD descriptors at keypoint locations only.
 
@@ -262,6 +263,12 @@ def sparse_bad(
         sampling_mode: 'nearest' (default, reference default) or 'bilinear'.
         use_pallas: force the Pallas (True) or jnp (False) sampler; None picks
             by the default device platform.
+        integer_image: promise that pixel values are integers (uint8-derived
+            — true for every image loaded by the CLIs). Routes the nearest-
+            mode Pallas sampler through an int8-digit MXU contraction with
+            EXACT (zero-rounding) box sums; ~15% slower than the default
+            bf16x3 path on v5e, so opt in for bit-stability, not speed.
+            Ignored for bilinear mode and on the jnp path.
 
     Returns:
         (B, K, P) descriptors, optionally L2-normalized.
@@ -351,7 +358,8 @@ def sparse_bad(
         use_pallas = _use_pallas_default()
     if use_pallas and (b * k) % 8 == 0:
         samples = sparse_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
-                                    groups, bilinear=bilinear)
+                                    groups, bilinear=bilinear,
+                                    integer_exact=integer_image)
     else:
         samples = reference_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
                                        groups, bilinear=bilinear)

@@ -79,3 +79,40 @@ def test_sparse_bad_pallas_flag_consistency(gray_image):
     b = np.asarray(sparse_bad(jnp.asarray(gray_image), jnp.asarray(kpts),
                               load_bad_params(256), use_pallas=None))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_integer_exact_path_interpret():
+    """With integer-valued images the int8-digit contraction must agree with
+    the jnp oracle to f32-division precision (the int path's box SUMS are
+    exact; only the 1/area mean division rounds)."""
+    from onnx_image_processing_tpu.ops import load_bad_params, sparse_bad
+
+    rng = np.random.default_rng(21)
+    h, w, k = 96, 144, 16
+    img = jnp.asarray(rng.integers(0, 256, (1, 1, h, w)).astype(np.float32))
+    kp = jnp.asarray(np.stack([rng.uniform(8, h - 8, (1, k)),
+                               rng.uniform(8, w - 8, (1, k))],
+                              -1).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, (1, 1, h, w)).astype(np.float32))
+    params = load_bad_params(256)
+
+    import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+    import functools
+
+    orig = ss.sparse_box_sample
+
+    def interpreted(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    ss.sparse_box_sample = interpreted
+    try:
+        got = np.asarray(sparse_bad(img, kp, params, orientation=theta,
+                                    use_pallas=True, integer_image=True,
+                                    normalize_descriptors=False))
+    finally:
+        ss.sparse_box_sample = orig
+    want = np.asarray(sparse_bad(img, kp, params, orientation=theta,
+                                 use_pallas=False,
+                                 normalize_descriptors=False))
+    np.testing.assert_allclose(got, want, atol=5e-4)
