@@ -20,6 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _mm(a, b):
+    """3x3/9x9 matmul with pinned f32 precision: XLA's default TPU matmul
+    truncates operands to bf16, a ~1e-2 relative error on the essential
+    matrix; these matrices are tiny so exactness is free."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 def _det3(m: jax.Array) -> jax.Array:
     """Cofactor-expansion determinant of a 3x3 matrix."""
     return (m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
@@ -27,18 +34,70 @@ def _det3(m: jax.Array) -> jax.Array:
             + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]))
 
 
+def _chol_solve(a: jax.Array, rhs: jax.Array, jitter: float = 0.0):
+    """Unrolled Cholesky factor + solve for a small static-size SPD matrix.
+
+    Fully scalar-unrolled (n <= 9 here): XLA fuses the whole factorization and
+    both triangular solves into one fusion with no device loops — unlike
+    ``jnp.linalg.eigh``/``cholesky``, which lower to iterative LAPACK-style
+    routines that cost tens of microseconds of sequential small ops on TPU.
+    """
+    n = a.shape[0]
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[i, j] + (jitter if i == j else 0.0)
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                l[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                l[i][j] = s / l[j][j]
+    # forward substitution L y = rhs
+    y = [None] * n
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x)
+
+
 def min_eigvec9(m: jax.Array, n_iter: int = 30, method: str = "eigh") -> jax.Array:
     """Minimum eigenvector of a symmetric PSD 9x9 matrix.
 
     method="eigh" (default): exact ``jnp.linalg.eigh`` — a 9x9 solve is
-    negligible on any backend and always converged. method="power" replicates
-    the reference's trace-shifted power iteration
+    negligible on any backend and always converged. method="fast": shifted
+    inverse iteration with an unrolled 9x9 Cholesky solve — agrees with eigh
+    to ~4e-6 and is exact f32 (no bf16 matmuls anywhere), but measured SLOWER
+    on TPU than eigh (~37 us vs ~33 us standalone; ~40 us worse inside the
+    full solve) because its ~700-op sequential scalar chain is latency-bound
+    on the VPU, so it is an accuracy/portability alternative, not the
+    default. method="power" replicates the
+    reference's trace-shifted power iteration
     (`essential_matrix_estimator.py:150-172`) bit-for-bit for parity testing.
     NOTE: the trace shift makes that iteration converge at rate
     ~(1 - gap/trace(M)); with realistic point sets trace(M) is O(100x) the
     spectral gap, so the reference's 30 iterations do NOT reach the true
     eigenvector — "power" exists for differential tests, not accuracy.
     """
+    if method == "fast":
+        # delta regularizes the exactly-singular case (the min eigenvalue of
+        # the 8-point normal matrix is ~0 by construction); it shifts the
+        # spectrum uniformly so the minimizer is unchanged.
+        delta = 1e-6 * jnp.trace(m) / 9.0 + 1e-30
+        v = jnp.full((9,), 1.0 / 3.0, dtype=m.dtype)
+        for _ in range(3):
+            v = _chol_solve(m, v, jitter=delta)
+            v = v / (jnp.linalg.norm(v) + 1e-30)
+        return v
     if method == "eigh":
         _, vecs = jnp.linalg.eigh(m)
         return vecs[:, 0]
@@ -46,7 +105,7 @@ def min_eigvec9(m: jax.Array, n_iter: int = 30, method: str = "eigh") -> jax.Arr
     m_s = lam * jnp.eye(9, dtype=m.dtype) - m
 
     def body(_, v):
-        v = m_s @ v
+        v = _mm(m_s, v)
         return v / (jnp.linalg.norm(v) + 1e-8)
 
     v0 = jnp.full((9,), 1.0 / 3.0, dtype=m.dtype)
@@ -55,24 +114,108 @@ def min_eigvec9(m: jax.Array, n_iter: int = 30, method: str = "eigh") -> jax.Arr
 
 def _power_iter3(b: jax.Array, n_iter: int) -> jax.Array:
     def body(_, v):
-        v = b @ v
+        v = _mm(b, v)
         return v / (jnp.linalg.norm(v) + 1e-8)
 
     v0 = jnp.full((3,), 1.0 / np.sqrt(3.0), dtype=b.dtype)
     return jax.lax.fori_loop(0, n_iter, body, v0)
 
 
+def _eig3_sym(b: jax.Array):
+    """Analytic eigenvalues (desc) of a symmetric 3x3 matrix (Cardano).
+
+    Closed-form trigonometric solution of the characteristic cubic — exact to
+    f32, one XLA fusion, no on-device iteration.
+    """
+    q = jnp.trace(b) / 3.0
+    p1 = b[0, 1] ** 2 + b[0, 2] ** 2 + b[1, 2] ** 2
+    p2 = ((b[0, 0] - q) ** 2 + (b[1, 1] - q) ** 2 + (b[2, 2] - q) ** 2
+          + 2.0 * p1)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    bn = (b - q * jnp.eye(3, dtype=b.dtype)) / p
+    r = jnp.clip(_det3(bn) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    return lam1, lam2, lam3
+
+
+def _largest_column(m: jax.Array) -> jax.Array:
+    """Column of a 3x3 matrix with the largest norm (branch-free)."""
+    n = (m * m).sum(axis=0)
+    best01 = jnp.where(n[0] >= n[1], 0, 1)
+    best = jnp.where(n[best01] >= n[2], best01, 2)
+    return m[:, best]
+
+
 def project_onto_essential_manifold(e: jax.Array, n_iter: int = 10,
                                     method: str = "svd") -> jax.Array:
     """Project a 3x3 matrix to singular values [s, s, 0].
 
-    method="svd" (default): exact ``jnp.linalg.svd`` on the 3x3 with det-sign
-    correction. method="power" replicates the reference's power-iteration SVD
-    (`essential_matrix_estimator.py:174-240`): right singular vectors from
+    method="svd" (default): exact ``jnp.linalg.svd`` with det-sign correction.
+    method="exact3": closed-form — analytic eigenvalues of E^T E
+    (Cardano), the null direction v3 from the adjugate of (E^T E - lam3 I)
+    (well-conditioned: lam1, lam2 >> lam3 for any near-essential matrix), v1
+    from the deflation product (B - lam2 I)(B - lam3 I) Gram-Schmidt'd against
+    v3. When lam1 ~ lam2 the v1 direction is inherently arbitrary within the
+    top subspace, and the projected output is invariant to that rotation to
+    O(sigma1 - sigma2) — exactly the scale at which the product column
+    degrades — so the fallback basis keeps the result correct. More accurate
+    than the f32 on-device SVD (1.4e-6 vs 1.8e-5 against an f64 oracle) but
+    measured no faster end-to-end (tiny-op dispatch dominates both), so it is
+    an alternative, not the default.
+    method="power" replicates the reference's power-iteration
+    SVD (`essential_matrix_estimator.py:174-240`): right singular vectors from
     power iterations on E^T E (largest) and its trace-shifted complement
     (smallest), completed by a cross product, with branch-free det-sign
     correction on both U and V.
     """
+    if method == "exact3":
+        b = _mm(e.T, e)
+        lam1, lam2, lam3 = _eig3_sym(b)
+        eye = jnp.eye(3, dtype=b.dtype)
+        # v3: null direction. Columns of adj(B - lam3 I) all lie along v3;
+        # the largest one is numerically safest.
+        a3 = b - lam3 * eye
+        adj3 = jnp.stack([jnp.cross(a3[:, 1], a3[:, 2]),
+                          jnp.cross(a3[:, 2], a3[:, 0]),
+                          jnp.cross(a3[:, 0], a3[:, 1])], axis=-1)
+        v3 = _largest_column(adj3)
+        v3 = v3 / (jnp.linalg.norm(v3) + 1e-30)
+        # v1: dominant direction from (B - lam2 I)(B - lam3 I) =
+        # (lam1-lam2)(lam1-lam3) v1 v1^T, made robust by projecting out v3 and
+        # falling back to the coordinate axis least aligned with v3.
+        prod = _mm(b - lam2 * eye, b - lam3 * eye)
+        v1 = _largest_column(prod)
+        v1 = v1 - (v1 @ v3) * v3
+        fb = eye[:, jnp.argmin(jnp.abs(v3))]
+        fb = fb - (fb @ v3) * v3
+        n1 = jnp.linalg.norm(v1)
+        v1 = jnp.where(n1 > 1e-12 * jnp.abs(lam1) * jnp.abs(lam1 - lam3) + 1e-30,
+                       v1 / (n1 + 1e-30), fb / (jnp.linalg.norm(fb) + 1e-30))
+        v2 = jnp.cross(v3, v1)
+        v2 = v2 / (jnp.linalg.norm(v2) + 1e-30)
+
+        v = jnp.stack([v1, v2, v3], axis=-1)
+        sign_v = jnp.sign(_det3(v))
+        v = v.at[:, 2].multiply(sign_v)
+
+        ev0 = _mm(e, v[:, 0])
+        ev1 = _mm(e, v[:, 1])
+        sigma1 = jnp.linalg.norm(ev0)
+        sigma2 = jnp.linalg.norm(ev1)
+        s_avg = (sigma1 + sigma2) / 2.0
+
+        u1 = ev0 / (sigma1 + 1e-30)
+        u2 = ev1 / (sigma2 + 1e-30)
+        u3 = jnp.cross(u1, u2)
+        u = jnp.stack([u1, u2, u3], axis=-1)
+        sign_u = jnp.sign(_det3(u))
+        u = u.at[:, 2].multiply(sign_u)
+
+        s = jnp.diag(jnp.stack([s_avg, s_avg, jnp.zeros((), e.dtype)]))
+        return _mm(_mm(u, s), v.T)
     if method == "svd":
         u, s, vt = jnp.linalg.svd(e)
         u = u.at[:, 2].multiply(jnp.sign(jnp.linalg.det(u)))
@@ -80,9 +223,9 @@ def project_onto_essential_manifold(e: jax.Array, n_iter: int = 10,
         v = v.at[:, 2].multiply(jnp.sign(jnp.linalg.det(v)))
         s_avg = (s[0] + s[1]) / 2.0
         d = jnp.diag(jnp.stack([s_avg, s_avg, jnp.zeros((), e.dtype)]))
-        return u @ d @ v.T
+        return _mm(_mm(u, d), v.T)
 
-    b = e.T @ e
+    b = _mm(e.T, e)
     lam = jnp.trace(b)
 
     v1 = _power_iter3(b, n_iter)
@@ -94,8 +237,8 @@ def project_onto_essential_manifold(e: jax.Array, n_iter: int = 10,
     sign_v = jnp.sign(_det3(v))
     v = v.at[:, 2].multiply(sign_v)
 
-    ev0 = e @ v[:, 0]
-    ev1 = e @ v[:, 1]
+    ev0 = _mm(e, v[:, 0])
+    ev1 = _mm(e, v[:, 1])
     sigma1 = jnp.linalg.norm(ev0)
     sigma2 = jnp.linalg.norm(ev1)
     s_avg = (sigma1 + sigma2) / 2.0
@@ -108,7 +251,7 @@ def project_onto_essential_manifold(e: jax.Array, n_iter: int = 10,
     u = u.at[:, 2].multiply(sign_u)
 
     s = jnp.diag(jnp.stack([s_avg, s_avg, jnp.zeros((), e.dtype)]))
-    return u @ s @ v.T
+    return _mm(_mm(u, s), v.T)
 
 
 def hartley_normalization(pts: jax.Array, weights: jax.Array):
@@ -138,15 +281,36 @@ def hartley_normalization(pts: jax.Array, weights: jax.Array):
     return t, scale, centroid
 
 
+def _kth_largest(p: jax.Array, k: int, axis: int) -> jax.Array:
+    """k-th largest value (duplicates counted) along ``axis``, keepdims.
+
+    Equals ``lax.top_k(p, k)[0][..., k-1]`` but via k max/count sweeps instead
+    of a full sort — on TPU, sorting a (512, 512) matrix twice costs ~80 us
+    while these sweeps are a few VPU passes. Iteration invariant: ``t`` is the
+    c-th distinct level from the top and ``cnt`` counts elements >= t; once
+    cnt >= k, t is the answer (index k-1 of the sorted-descending row falls
+    inside t's run of duplicates).
+    """
+    t = jnp.max(p, axis=axis, keepdims=True)
+    cnt = (p >= t).sum(axis=axis, keepdims=True)
+    for _ in range(k - 1):
+        nxt = jnp.max(jnp.where(p < t, p, -jnp.inf), axis=axis, keepdims=True)
+        need_more = cnt < k
+        t = jnp.where(need_more, nxt, t)
+        cnt = jnp.where(need_more, (p >= t).sum(axis=axis, keepdims=True), cnt)
+    return t
+
+
 def bidirectional_topk_weights(p_core: jax.Array, top_k: int = 3,
                                prob_threshold: float = 0.01) -> jax.Array:
     """Keep P[i,j] only where it is top-k in BOTH its row and column and above
     an absolute threshold; surviving probabilities become 8-point weights.
 
-    Parity: `essential_matrix_estimator.py:307-330`.
+    Parity: `essential_matrix_estimator.py:307-330` (the mask is identical to
+    the reference's ``torch.topk`` thresholds; see ``_kth_largest``).
     """
-    thresh_row = jax.lax.top_k(p_core, top_k)[0][:, top_k - 1:top_k]      # (N, 1)
-    thresh_col = jax.lax.top_k(p_core.T, top_k)[0][:, top_k - 1:top_k].T  # (1, M)
+    thresh_row = _kth_largest(p_core, top_k, axis=1)      # (N, 1)
+    thresh_col = _kth_largest(p_core, top_k, axis=0)      # (1, M)
     mask = (p_core >= thresh_row) & (p_core >= thresh_col) & (p_core > prob_threshold)
     return p_core * mask.astype(p_core.dtype)
 
@@ -165,8 +329,11 @@ def essential_from_weighted_points(
         weights: (N, M) pair weights (already masked).
         pts1_n: (N, 2) K^-1-normalized (x, y) coords of image-1 points.
         pts2_n: (M, 2) for image 2.
-        method: "eigh" (default) solves the 9x9/3x3 eigenproblems exactly and
-            denormalizes in the standard x2^T E x1 = 0 convention;
+        method: "eigh" (default) solves the 9x9/3x3 eigenproblems exactly
+            and denormalizes in the standard x2^T E x1 = 0 convention; "fast"
+            uses the unrolled-Cholesky inverse iteration + closed-form
+            projection (f32-exact, bit-identical across backends, but
+            measured slower on TPU — see ``min_eigvec9``).
             "power" reproduces the reference's fixed-iteration scheme AND its
             denormalization formula T2^T E_raw T1
             (`essential_matrix_estimator.py:390-392`) for differential parity.
@@ -198,15 +365,16 @@ def essential_from_weighted_points(
 
     if method == "power":
         e_raw = min_eigvec9(m_mat, n_iter, method="power").reshape(3, 3)
-        e_denorm = t2.T @ e_raw @ t1
+        e_denorm = _mm(_mm(t2.T, e_raw), t1)
         return project_onto_essential_manifold(e_denorm, n_iter_manifold,
                                                method="power")
     # e_raw satisfies x1_hn^T e_raw x2_hn = 0 (design rows are f1 (x) f2), so
     # the standard-convention (x2^T E x1 = 0) denormalization is
     # (T1^T e_raw T2)^T.
-    e_raw = min_eigvec9(m_mat, n_iter, method="eigh").reshape(3, 3)
-    e_denorm = (t1.T @ e_raw @ t2).T
-    return project_onto_essential_manifold(e_denorm, method="svd")
+    e_raw = min_eigvec9(m_mat, n_iter, method=method).reshape(3, 3)
+    e_denorm = _mm(_mm(t1.T, e_raw), t2).T
+    return project_onto_essential_manifold(
+        e_denorm, method="exact3" if method == "fast" else "svd")
 
 
 @partial(jax.jit, static_argnames=("image_shape", "top_k", "n_iter",
@@ -247,7 +415,7 @@ def estimate_essential_matrix(
     px = idx % w
     py = idx // w
     coords_h = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)     # (H*W, 3)
-    coords_n = (coords_h @ k_inv.astype(jnp.float32).T)[:, :2]
+    coords_n = _mm(coords_h, k_inv.astype(jnp.float32).T)[:, :2]
     return essential_from_weighted_points(weights, coords_n[:n], coords_n[:m],
                                           n_iter, n_iter_manifold, method)
 
@@ -288,7 +456,7 @@ def estimate_essential_from_keypoints(
     def normalize(kpts):
         xy1 = jnp.stack([kpts[:, 1], kpts[:, 0], jnp.ones_like(kpts[:, 0])],
                         axis=-1)  # (K, 3) homogeneous (x, y, 1)
-        return (xy1 @ k_inv.T)[:, :2]
+        return _mm(xy1, k_inv.T)[:, :2]
 
     return essential_from_weighted_points(weights, normalize(keypoints1),
                                           normalize(keypoints2),

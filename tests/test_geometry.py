@@ -159,3 +159,103 @@ def test_manifold_projection_against_numpy_svd():
     # Sign-corrected U/V can flip overall sign; compare up to sign.
     err = min(np.abs(pe - e_true).max(), np.abs(pe + e_true).max())
     assert err < 1e-4 * s_avg
+
+
+def test_kth_largest_matches_lax_topk():
+    """The sort-free bidirectional-top-k threshold must equal lax.top_k's
+    k-th value exactly, including duplicate-heavy inputs (the mask semantics
+    of `essential_matrix_estimator.py:307-330` depend on it)."""
+    import jax
+    from onnx_image_processing_tpu.geometry.essential_matrix import _kth_largest
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        p = rng.uniform(0, 1, (97, 83)).astype(np.float32)
+        if trial >= 2:  # quantize to force long duplicate runs
+            p = np.round(p * 8) / 8
+        for k in (1, 2, 3, 5):
+            ref_r = np.asarray(jax.lax.top_k(jnp.asarray(p), k)[0][:, k - 1:k])
+            got_r = np.asarray(_kth_largest(jnp.asarray(p), k, axis=1))
+            np.testing.assert_array_equal(ref_r, got_r)
+            ref_c = np.asarray(jax.lax.top_k(jnp.asarray(p.T), k)[0][:, k - 1:k].T)
+            got_c = np.asarray(_kth_largest(jnp.asarray(p), k, axis=0))
+            np.testing.assert_array_equal(ref_c, got_c)
+
+
+def test_min_eigvec9_fast_matches_eigh():
+    """Unrolled-Cholesky inverse iteration vs exact eigh, including the
+    near-singular spectra the 8-point normal matrix actually has."""
+    rng = np.random.default_rng(8)
+    for _ in range(10):
+        a = rng.standard_normal((9, 9)).astype(np.float32)
+        m = a @ a.T
+        w, vecs = np.linalg.eigh(m)
+        w[0] *= 1e-6  # min eigenvalue ~0, like a consistent 8-point system
+        m = ((vecs * w) @ vecs.T).astype(np.float32)
+        m = (m + m.T) / 2
+        ve = np.asarray(min_eigvec9(jnp.asarray(m), method="eigh"))
+        vf = np.asarray(min_eigvec9(jnp.asarray(m), method="fast"))
+        assert min(np.abs(vf - ve).max(), np.abs(vf + ve).max()) < 1e-4
+
+
+def test_manifold_projection_exact3_matches_f64():
+    """Closed-form Cardano projection vs an f64 numpy oracle, covering the
+    generic, sigma1~sigma2 (rotation-degenerate), and near-rank-2 cases."""
+    rng = np.random.default_rng(9)
+    for t in range(15):
+        e = rng.standard_normal((3, 3)).astype(np.float32)
+        if t % 3 == 1:
+            u, s, vt = np.linalg.svd(e)
+            s = np.array([1.0, 1.0 - 1e-6, 0.3], np.float32)
+            e = ((u * s) @ vt).astype(np.float32)
+        if t % 3 == 2:
+            u, s, vt = np.linalg.svd(e)
+            s = np.array([1.0, 0.8, 1e-7], np.float32)
+            e = ((u * s) @ vt).astype(np.float32)
+        u, s, vt = np.linalg.svd(e.astype(np.float64))
+        s_avg = (s[0] + s[1]) / 2
+        ref = u @ np.diag([s_avg, s_avg, 0.0]) @ vt
+        got = np.asarray(project_onto_essential_manifold(jnp.asarray(e),
+                                                         method="exact3"))
+        assert np.abs(got - ref).max() < 2e-5 * np.abs(ref).max()
+
+
+def test_essential_fast_method_matches_eigh_end_to_end():
+    from onnx_image_processing_tpu.geometry.essential_matrix import (
+        essential_from_weighted_points)
+
+    rng = np.random.default_rng(10)
+    r, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(r) < 0:
+        r[:, 0] *= -1
+    tv = rng.standard_normal(3)
+    tv /= np.linalg.norm(tv)
+    x3 = rng.uniform(-1, 1, (128, 3))
+    x3[:, 2] += 4
+    x1 = (x3[:, :2] / x3[:, 2:3]).astype(np.float32)
+    xc = x3 @ r.T + tv
+    x2 = (xc[:, :2] / xc[:, 2:3] + 1e-3 * rng.standard_normal((128, 2))).astype(
+        np.float32)
+    w = jnp.asarray(np.eye(128, dtype=np.float32))
+    ef = np.array(essential_from_weighted_points(w, jnp.asarray(x1),
+                                                 jnp.asarray(x2), method="fast"))
+    ee = np.array(essential_from_weighted_points(w, jnp.asarray(x1),
+                                                 jnp.asarray(x2), method="eigh"))
+    ef /= np.linalg.norm(ef)
+    ee /= np.linalg.norm(ee)
+    if np.sum(ef * ee) < 0:
+        ef = -ef
+    assert np.abs(ef - ee).max() < 1e-4
+
+
+def test_essential_zero_weights_is_finite():
+    """Degenerate input (no matches anywhere) must not NaN on any method."""
+    from onnx_image_processing_tpu.geometry.essential_matrix import (
+        essential_from_weighted_points)
+
+    rng = np.random.default_rng(11)
+    w0 = jnp.zeros((64, 64), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+    for method in ("eigh", "fast", "power"):
+        e0 = np.asarray(essential_from_weighted_points(w0, p0, p0, method=method))
+        assert np.isfinite(e0).all(), method
