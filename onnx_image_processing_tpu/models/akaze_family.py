@@ -28,7 +28,8 @@ def akaze_detect_cfg(image: jax.Array, cfg: MatcherConfig):
         diffusion_iterations=a.diffusion_iterations, kappa=a.kappa,
         threshold=a.threshold, nms_size=a.nms_size,
         orientation_patch_size=a.orientation_patch_size,
-        orientation_sigma=a.orientation_sigma)
+        orientation_sigma=a.orientation_sigma,
+        use_pallas=cfg.use_pallas)
 
 
 def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,

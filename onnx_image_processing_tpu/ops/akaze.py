@@ -120,7 +120,7 @@ def _orientation_zero(image_bhw: jax.Array, patch_size: int, sigma: float) -> ja
 
 @partial(jax.jit, static_argnames=(
     "num_scales", "diffusion_iterations", "kappa", "threshold", "nms_size",
-    "orientation_patch_size", "orientation_sigma"))
+    "orientation_patch_size", "orientation_sigma", "use_pallas"))
 def akaze_detect(
     image: jax.Array,
     num_scales: int = 3,
@@ -130,6 +130,7 @@ def akaze_detect(
     nms_size: int = 5,
     orientation_patch_size: int = 15,
     orientation_sigma: float = 2.5,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full AKAZE: per-scale diffusion → Hessian detect → orientation; scores
     are the per-pixel max over scales, orientations are mask-selected from the
@@ -137,7 +138,32 @@ def akaze_detect(
 
     Parity: `pytorch_model/detector/akaze.py:318-453`. Interface matches
     Shi-Tomasi + angle: returns ((B, 1, H, W) scores, (B, 1, H, W) radians).
+
+    ``use_pallas``: route the whole stencil ladder through the fused VMEM
+    kernel (`kernels/akaze_ladder.py`) — bit-identical outputs, one HBM read
+    of the image instead of per-pass slab round trips. Measured on v5e the
+    kernel is ~20% SLOWER than the XLA path (0.31 vs 0.26 ms at 480x640 B=2):
+    this stage is VPU-compute-bound, not bandwidth-bound, and XLA's stencil
+    codegen beats Mosaic's roll/select shifts — so ``None`` means False on
+    every platform and the kernel remains an opt-in measured alternative.
+    atan2 and the scale select run outside the kernel either way.
     """
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from ..kernels.akaze_ladder import akaze_ladder
+
+        scores_s, m10, m01 = akaze_ladder(
+            image.astype(jnp.float32)[:, 0], num_scales=num_scales,
+            diffusion_iterations=diffusion_iterations, kappa=kappa,
+            threshold=threshold, nms_size=nms_size,
+            orientation_patch_size=orientation_patch_size,
+            orientation_sigma=orientation_sigma)
+        all_scores = jnp.moveaxis(scores_s, 1, 0)    # (S, B, H, W)
+        all_orients = jnp.arctan2(jnp.moveaxis(m01, 1, 0),
+                                  jnp.moveaxis(m10, 1, 0))
+        return _scale_select(all_scores, all_orients)
+
     current = image.astype(jnp.float32)
     scores_list = []
     orient_list = []
@@ -152,9 +178,42 @@ def akaze_detect(
 
     all_scores = jnp.stack(scores_list, axis=0)      # (S, B, H, W)
     all_orients = jnp.stack(orient_list, axis=0)
+    return _scale_select(all_scores, all_orients)
+
+
+def _scale_select(all_scores: jax.Array, all_orients: jax.Array):
+    """Branch-free scale-max score + tie-normalized orientation select
+    (`pytorch_model/detector/akaze.py:436-451`); inputs (S, B, H, W)."""
     scores = jnp.max(all_scores, axis=0)
 
     mask = (all_scores == scores[None]).astype(jnp.float32)
     mask = mask / jnp.maximum(mask.sum(axis=0, keepdims=True), 1.0)
     orientations = (all_orients * mask).sum(axis=0)
     return scores[:, None], orientations[:, None]
+
+
+def akaze_ladder_reference(image_b1hw: jax.Array, num_scales: int = 3,
+                           diffusion_iterations: int = 3, kappa: float = 0.05,
+                           threshold: float = 0.001, nms_size: int = 5,
+                           orientation_patch_size: int = 15,
+                           orientation_sigma: float = 2.5):
+    """jnp oracle for `kernels/akaze_ladder.py` (same contract): per-scale
+    (scores, m10, m01) maps, each (B, num_scales, H, W)."""
+    from .filters import pad2d, conv1d_h, conv1d_w, gaussian_taps
+
+    half = orientation_patch_size // 2
+    g = gaussian_taps(orientation_sigma, orientation_patch_size)
+    t = np.arange(-half, half + 1, dtype=np.float32)
+    tg = (t * g).astype(np.float32)
+
+    current = image_b1hw.astype(jnp.float32)
+    scores, m10s, m01s = [], [], []
+    for _ in range(num_scales):
+        current = nonlinear_diffusion(current, num_iterations=diffusion_iterations,
+                                      kappa=kappa)
+        scores.append(hessian_score(current, threshold=threshold,
+                                    nms_size=nms_size)[:, 0])
+        xp = pad2d(current[:, 0], half, half, mode="zero")
+        m10s.append(conv1d_w(conv1d_h(xp, g), tg))
+        m01s.append(conv1d_w(conv1d_h(xp, tg), g))
+    return (jnp.stack(scores, 1), jnp.stack(m10s, 1), jnp.stack(m01s, 1))

@@ -116,3 +116,51 @@ def test_integer_exact_path_interpret():
                                  use_pallas=False,
                                  normalize_descriptors=False))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_akaze_ladder_interpret_matches_oracle():
+    """Fused AKAZE ladder kernel vs its jnp oracle (scores + moment maps).
+
+    On real TPU hardware the kernel is bit-identical to the XLA path (same
+    tap order, same f32 adds); interpret mode tolerates float-order noise.
+    """
+    from onnx_image_processing_tpu.kernels.akaze_ladder import akaze_ladder
+    from onnx_image_processing_tpu.ops.akaze import akaze_ladder_reference
+
+    rng = np.random.default_rng(23)
+    img = rng.uniform(0, 255, (2, 96, 128)).astype(np.float32)
+    s_k, m10_k, m01_k = (np.asarray(o) for o in
+                         akaze_ladder(jnp.asarray(img), interpret=True))
+    s_r, m10_r, m01_r = (np.asarray(o) for o in
+                         akaze_ladder_reference(jnp.asarray(img)[:, None]))
+    np.testing.assert_allclose(s_k, s_r, atol=1e-3)
+    np.testing.assert_allclose(m10_k, m10_r, atol=5e-3)
+    np.testing.assert_allclose(m01_k, m01_r, atol=5e-3)
+    # The NMS survivor sets must agree except at razor-thin score ties.
+    assert ((s_k > 0) != (s_r > 0)).mean() < 1e-4
+
+
+def test_akaze_detect_pallas_flag_consistency():
+    """akaze_detect(use_pallas=True) through the interpreted kernel equals the
+    XLA path, including the cross-scale tie-normalized orientation select."""
+    import onnx_image_processing_tpu.kernels.akaze_ladder as al
+    from onnx_image_processing_tpu.ops.akaze import akaze_detect
+
+    rng = np.random.default_rng(24)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 1, 64, 96)).astype(np.float32))
+
+    orig = al.akaze_ladder
+
+    def interpreted(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    al.akaze_ladder = interpreted
+    try:
+        s_p, o_p = (np.asarray(o) for o in akaze_detect(img, use_pallas=True))
+    finally:
+        al.akaze_ladder = orig
+    s_j, o_j = (np.asarray(o) for o in akaze_detect(img, use_pallas=False))
+    np.testing.assert_allclose(s_p, s_j, atol=1e-3)
+    kpts = s_j[0, 0] > 1e-3
+    np.testing.assert_allclose(o_p[0, 0][kpts], o_j[0, 0][kpts], atol=1e-3)
