@@ -288,36 +288,49 @@ def sparse_bad(
     kx = jnp.clip(keypoints[:, :, 1], 0.0, float(w - 1))
 
     # Pairs statically sorted by radius: every per-radius group below becomes a
-    # contiguous slice (no fancy-index gathers/scatters in the hot path); the
-    # descriptor is un-permuted once at the end.
+    # contiguous slice (no fancy-index gathers/scatters in the hot path).
     radii_np = np.asarray(params.radii)
     order = np.argsort(radii_np, kind="stable")
-    inv_order = jnp.asarray(np.argsort(order).astype(np.int32))
+    inv_order_np = np.argsort(order)
     radii_sorted = radii_np[order]
 
-    # Both box samples of every pair share one sampling pass. The (2P,) sample
-    # axis is radius-major with sample-1/sample-2 blocks per group, so each
-    # group is one contiguous [2*lo, 2*hi) slice. The offsets are arranged
-    # into that final layout ONCE in numpy (static constants) so the traced
-    # position computation is two fused multiply-adds — no per-group slicing
-    # or concatenation of (B, K, P) intermediates.
-    group_bounds = []
+    # The learned pairs reuse box endpoints: of the 2P (offset, radius) boxes,
+    # only ~79% are distinct (805/1024 for 512 pairs, 447/512 for 256). The
+    # sample axis therefore carries each UNIQUE box once, radius-major so each
+    # per-radius group is one contiguous slice — every downstream cost (MXU
+    # N-tiles, one-hot builds, epilogue lanes) shrinks by the duplicate
+    # fraction. The pair descriptor is reassembled afterwards by two static
+    # index takes (idx1/idx2 map original pair order -> unique box), which
+    # also absorb the radius-sort un-permutation that used to be a third take.
+    group_bounds = []   # (radius, lo, hi) on the unique-box sample axis
+    idx1_sorted = np.empty(p, np.int64)
+    idx2_sorted = np.empty(p, np.int64)
+    off_y_list, off_x_list = [], []
+    base = 0
     lo = 0
     for r in sorted(set(int(v) for v in np.unique(radii_sorted))):
         hi = lo + int((radii_sorted == r).sum())
-        group_bounds.append((r, lo, hi))
+        n_g = hi - lo
+        pts = np.stack([
+            np.concatenate([params.offset_y1[order][lo:hi],
+                            params.offset_y2[order][lo:hi]]),
+            np.concatenate([params.offset_x1[order][lo:hi],
+                            params.offset_x2[order][lo:hi]]),
+        ], axis=1)
+        uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+        idx1_sorted[lo:hi] = base + inv[:n_g]
+        idx2_sorted[lo:hi] = base + inv[n_g:]
+        off_y_list.append(uniq[:, 0])
+        off_x_list.append(uniq[:, 1])
+        group_bounds.append((r, base, base + len(uniq)))
+        base += len(uniq)
         lo = hi
-
-    off_y = np.empty(2 * p, np.float32)
-    off_x = np.empty(2 * p, np.float32)
-    for r, glo, ghi in group_bounds:
-        n_g = ghi - glo
-        off_y[2 * glo:2 * glo + n_g] = params.offset_y1[order][glo:ghi]
-        off_y[2 * glo + n_g:2 * ghi] = params.offset_y2[order][glo:ghi]
-        off_x[2 * glo:2 * glo + n_g] = params.offset_x1[order][glo:ghi]
-        off_x[2 * glo + n_g:2 * ghi] = params.offset_x2[order][glo:ghi]
-    off_y_j = jnp.asarray(off_y)[None, None, :]  # (1, 1, 2P)
-    off_x_j = jnp.asarray(off_x)[None, None, :]
+    idx1 = jnp.asarray(idx1_sorted[inv_order_np].astype(np.int32))
+    idx2 = jnp.asarray(idx2_sorted[inv_order_np].astype(np.int32))
+    off_y_j = jnp.asarray(np.concatenate(off_y_list).astype(np.float32)
+                          )[None, None, :]  # (1, 1, S_unique)
+    off_x_j = jnp.asarray(np.concatenate(off_x_list).astype(np.float32)
+                          )[None, None, :]
 
     if orientation is not None:
         theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
@@ -351,8 +364,7 @@ def sparse_bad(
     ly = jnp.clip(pos_y - start_y[..., None].astype(jnp.float32), 0.0, ps - 1.0)
     lx = jnp.clip(pos_x - start_x[..., None].astype(jnp.float32), 0.0, ps - 1.0)
 
-    # Sample-axis groups: each group covers [2*lo, 2*hi) of the (2P,) axis.
-    groups = tuple((r, 2 * lo, 2 * hi) for r, lo, hi in group_bounds)
+    groups = tuple(group_bounds)
     bilinear = sampling_mode == "bilinear"
     if use_pallas is None:
         use_pallas = _use_pallas_default()
@@ -364,17 +376,11 @@ def sparse_bad(
         samples = reference_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
                                        groups, bilinear=bilinear)
 
-    s1_parts, s2_parts = [], []
-    for _, slo, shi in groups:  # each group is [sample1-block | sample2-block]
-        half = (shi - slo) // 2
-        s1_parts.append(samples[..., slo:slo + half])
-        s2_parts.append(samples[..., slo + half:shi])
-    s1 = jnp.concatenate(s1_parts, axis=-1)  # (B, K, P) in radius-sorted order
-    s2 = jnp.concatenate(s2_parts, axis=-1)
-
-    centered = (s1 - s2) - jnp.asarray(params.thresholds[order])[None, None, :]
-    # Restore the original learned pair order (single static permutation).
-    centered = jnp.take(centered, inv_order, axis=-1)
+    # Pair descriptors from the unique-box samples: two static-index takes in
+    # the original learned pair order (idx1/idx2 fold in the un-permutation).
+    s1 = jnp.take(samples, idx1, axis=-1)  # (B, K, P)
+    s2 = jnp.take(samples, idx2, axis=-1)
+    centered = (s1 - s2) - jnp.asarray(params.thresholds)[None, None, :]
     desc = _finalize(centered, binarize, soft_binarize, temperature)
     desc = desc * valid[..., None]
 
