@@ -48,7 +48,9 @@ def bench_shi_tomasi_nms():
         eps = m[0, 0, 0] * 1e-20
         return m.sum(), (img + eps, _unused)
 
-    return _chain_time(step, (i1, i1))
+    # ~20 us/frame: needs a long chain so the differential rises above
+    # host/tunnel timing jitter (n=50 puts T(3n)-T(n) at ~2 ms, within noise).
+    return _chain_time(step, (i1, i1), n=500)
 
 
 def bench_shi_tomasi_dense_bad():

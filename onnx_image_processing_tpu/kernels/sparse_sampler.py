@@ -13,14 +13,14 @@ stage, one keypoint tile per grid step:
      origins are quantized (rows to 8, columns to 128) and the window is
      (psd_y=72) x (psd_x=256) for the BAD geometry — the alignment slack is
      absorbed by the in-patch sample coordinates;
-  2. per-radius box banks are computed in VMEM by unrolled shift-add valid
-     convolutions (VPU);
-  3. sampling contracts the column axis on the MXU — dot(ohx, bank^T) with
-     one-hot (or bilinear two-hot) column weights — then applies the row
-     weights as a masked reduction. The one-hot matrices exist only in VMEM.
+  2. sampling contracts the patch column axis on the MXU — a direct
+     box-mask quadratic form ymask^T X xmask with interval-indicator columns
+     (ones over each box footprint) and a manual bf16x3 split of the patch
+     operand — then applies the row masks as an exact f32 reduction. The
+     mask matrices exist only in VMEM.
 
-HBM traffic: image windows + local coordinates + outputs (~90 MB at B=2,
-K=512, S=1024) versus ~600 MB for the XLA one-hot formulation, and no gathers.
+HBM traffic: image windows + local coordinates + outputs (~80 MB at B=2,
+K=512, S=805) versus ~600 MB for the XLA one-hot formulation, and no gathers.
 """
 
 from __future__ import annotations
@@ -50,11 +50,130 @@ def dma_geometry(ps: int, r_max: int):
     return psd_y, psd_x, psd_x - 2 * r_max
 
 
+def _make_tile_compute(s, ps, r_max, groups, bilinear, integer_exact):
+    """Builds the per-keypoint compute: (psi, psi) patch -> (S,) box means.
+
+    Shared by the windowed-DMA and VMEM-resident kernels below.
+    """
+    psi = ps + 2 * r_max
+
+    # Per-sample radius, built in-kernel from the static group table (Pallas
+    # kernels cannot capture host array constants).
+    sample_row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    rad = jnp.zeros((s, 1), jnp.float32)
+    for (r, lo, hi) in groups:
+        rad = jnp.where((sample_row >= lo) & (sample_row < hi), float(r), rad)
+    inv_area = 1.0 / (2.0 * rad + 1.0) ** 2
+
+    grid_i = jax.lax.broadcasted_iota(jnp.int32, (psi, s), 0).astype(jnp.float32)
+    rad_t = rad.reshape(1, s)
+
+    def interval_weights(local_t):
+        """Box-membership mask columns over the patch axis: ones on
+        [c+R-r, c+R+r] (the box footprint in halo'd patch coordinates).
+        This is the integral quadratic form pushed through the cumsum:
+        (e[c+R+r+1] - e[c+R-r]) on I = L X L^T equals an interval indicator
+        on the raw patch X — identical box sums, no integral build at all.
+        Bilinear mode sums the two interpolation taps' intervals (a flat-top
+        profile with fractional ends; weights sum to 1, separable in y/x)."""
+        row = local_t[None, :]
+        if not bilinear:
+            c = jnp.round(row)
+            return ((grid_i >= c + (r_max - rad_t))
+                    & (grid_i <= c + (r_max + rad_t))).astype(jnp.float32)
+        c0 = jnp.clip(jnp.floor(row), 0.0, float(ps - 1))
+        c1 = jnp.clip(c0 + 1.0, 0.0, float(ps - 1))
+        frac = row - jnp.floor(row)
+        w = jnp.zeros_like(grid_i)
+        for c, wgt in ((c0, 1.0 - frac), (c1, frac)):
+            w = w + wgt * ((grid_i >= c + (r_max - rad_t))
+                           & (grid_i <= c + (r_max + rad_t))).astype(jnp.float32)
+        return w
+
+    def compute(patch, ly_t, lx_t):
+        # Centering by 127.5 keeps the operand-split planes balanced around
+        # zero and the epilogue re-adds it exactly.
+        centered = patch - 127.5
+
+        # Direct box-mask quadratic form: every box sample is ymask^T X xmask
+        # with interval-indicator columns — one contraction per keypoint,
+        # oriented (psi, K) @ (K, S) so N = S fills MXU tiles. (An earlier
+        # design built a centered integral image per patch and contracted
+        # corner-difference one-hots against it; the interval form computes
+        # identical sums from the raw patch and saves the per-keypoint cumsum
+        # — ~34% of kernel time — while shrinking operand magnitude from ~5e3
+        # to <=127.5.) Mosaic matmuls truncate f32 operands to bf16, so X is
+        # split into three bf16 planes (~2^-24 relative, f32-equivalent). In
+        # nearest mode the xmask entries are 0/1 (bf16-exact); in bilinear
+        # mode they carry fractional interpolation weights and are split too
+        # (bf16 head + residual; the X3*x_lo cross term is dropped — its
+        # contribution is <= |X|*2^-16*2^-9, far below the mode's 2e-3
+        # accuracy). All planes pack along the CONTRACTION axis into a single
+        # matmul — sum-of-plane-products is one accumulation, and K = 3*psi
+        # = 213 (5*psi = 355 bilinear) rounds to fewer 128-wide K-tiles than
+        # per-plane matmuls, with one dispatch. The y-interval weights and
+        # the 1/area scale are applied in the exact f32 epilogue.
+        ohy_c = interval_weights(ly_t)          # (psi, S)
+        ohx_c = interval_weights(lx_t)          # (psi, S)
+
+        if integer_exact and not bilinear:
+            # Integer-image exact path: pixel values are integers (uint8-
+            # derived), so 2*centered = 2*pixel - 255 is an exact odd integer
+            # in [-255, 255]. Decompose into two signed base-256 digit planes
+            # (d1 in {-1, 0, 1}) stacked along M and contract against int8
+            # 0/1 interval columns with int32 accumulation — box sums are
+            # EXACT (the bf16x3 split is ~1e-5). The 256 recombination and
+            # 0.5 rescale run in the f32 epilogue. Opt-in exactness mode;
+            # measure before making it a default (Mosaic's int8 matmul rate
+            # at these shapes has not beaten the bf16x3 path historically).
+            vi = jnp.round(2.0 * centered).astype(jnp.int32)
+            d0 = ((vi + 128) % 256) - 128
+            d1 = (vi - d0) // 256                   # in {-1, 0, 1}
+            m_cat = jnp.concatenate(
+                [d1.astype(jnp.int8), d0.astype(jnp.int8)], axis=0)  # (2*psi, psi)
+            ohx_i8 = ohx_c.astype(jnp.int8)
+            rows2 = jax.lax.dot_general(
+                m_cat, ohx_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)   # (2*psi, S)
+            rows = (rows2[:psi] * 256 + rows2[psi:]).astype(jnp.float32) * 0.5
+            box_sum = (rows * ohy_c).sum(axis=0)
+            return box_sum * inv_area[:, 0] + 127.5
+
+        x1 = centered.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = centered - x1
+        x2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        x3 = r1 - x2
+        if bilinear:
+            m_hi = ohx_c.astype(jnp.bfloat16).astype(jnp.float32)
+            m_lo = ohx_c - m_hi
+            i_cat = jnp.concatenate([x1, x2, x3, x1, x2], axis=1)
+            x_cat = jnp.concatenate([m_hi, m_hi, m_hi, m_lo, m_lo], axis=0)
+        else:
+            i_cat = jnp.concatenate([x1, x2, x3], axis=1)   # (psi, 3*psi)
+            x_cat = jnp.concatenate([ohx_c] * 3, axis=0)    # (3*psi, S)
+        rows = jnp.dot(i_cat, x_cat, preferred_element_type=jnp.float32)
+        box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
+        return box_sum * inv_area[:, 0] + 127.5
+
+    return compute
+
+
+def _origin(start_y_ref, start_x_ref, k_global, n_kpts, hp):
+    """Aligned window origin on the (B*Hp, Wp) row-flattened image: row start
+    (batch base + 8-quantized y), 128-floored column start, and the lane
+    misalignment residual."""
+    b = k_global // n_kpts
+    sy = pl.multiple_of(b * hp + start_y_ref[k_global], 8)
+    sxf = start_x_ref[k_global]
+    sx = pl.multiple_of((sxf // 128) * 128, 128)
+    return sy, sx, sxf - sx
+
+
 def _sample_kernel(
     # scalar prefetch
     start_y_ref, start_x_ref,
     # inputs
-    image_ref,       # (B, Hp, Wp) HBM (ANY)
+    image_ref,       # (B*Hp, Wp) HBM (ANY), rows flattened batch-major
     ly_ref, lx_ref,  # (T, S) VMEM block
     # output
     out_ref,         # (T, S) VMEM block
@@ -64,29 +183,29 @@ def _sample_kernel(
     *,
     tile: int,
     n_kpts: int,
+    hp: int,
     ps: int,
     r_max: int,
     groups: tuple,   # ((radius, lo, hi), ...) contiguous over the S axis
     bilinear: bool,
     integer_exact: bool,
 ):
+    """Windowed-DMA path: per-keypoint image windows are DMA'd from HBM,
+    double-buffered across grid steps (used when the image exceeds the VMEM
+    residency budget). Row origins are pre-quantized to 8 (ops/bad.py);
+    column origins are floored to 128 in-kernel and the residual is fixed
+    with a dynamic lane roll."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     psd_y, psd_x = patch_ref.shape[-2], patch_ref.shape[-1]
     psi = ps + 2 * r_max
 
-    # Double-buffered patch DMA: while computing on this step's patches (slot
-    # i%2), the next step's patches stream into the other slot. Row origins
-    # are pre-quantized to 8 (ops/bad.py); column origins are floored to 128
-    # in-kernel and the residual is fixed with a dynamic lane roll.
     def issue_dmas(step, slot):
         for t in range(tile):
-            k_global = step * tile + t
-            b = k_global // n_kpts
-            sy = pl.multiple_of(start_y_ref[k_global], 8)
-            sx = pl.multiple_of((start_x_ref[k_global] // 128) * 128, 128)
+            sy, sx, _ = _origin(start_y_ref, start_x_ref, step * tile + t,
+                                n_kpts, hp)
             pltpu.make_async_copy(
-                image_ref.at[b, pl.ds(sy, psd_y), pl.ds(sx, psd_x)],
+                image_ref.at[pl.ds(sy, psd_y), pl.ds(sx, psd_x)],
                 patch_ref.at[slot, t],
                 sem.at[slot, t],
             ).start()
@@ -102,73 +221,20 @@ def _sample_kernel(
     slot = i % 2
     fines = []
     for t in range(tile):
-        k_global = i * tile + t
-        b = k_global // n_kpts
-        sy = pl.multiple_of(start_y_ref[k_global], 8)
-        sxf = start_x_ref[k_global]
-        sx = pl.multiple_of((sxf // 128) * 128, 128)
-        fines.append(sxf - sx)  # lane misalignment in [0, 128)
+        sy, sx, fine = _origin(start_y_ref, start_x_ref, i * tile + t,
+                               n_kpts, hp)
+        fines.append(fine)  # lane misalignment in [0, 128)
         # Wait for this step's copy of patch t (matches the start() above).
         pltpu.make_async_copy(
-            image_ref.at[b, pl.ds(sy, psd_y), pl.ds(sx, psd_x)],
+            image_ref.at[pl.ds(sy, psd_y), pl.ds(sx, psd_x)],
             patch_ref.at[slot, t],
             sem.at[slot, t],
         ).wait()
 
-    s = ly_ref.shape[-1]
-    n_groups = len(groups)
-    n_i = psi + 1  # integral-image side
-
-    # Per-sample radius, built in-kernel from the static group table (Pallas
-    # kernels cannot capture host array constants).
-    sample_row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-    rad = jnp.zeros((s, 1), jnp.float32)
-    for (r, lo, hi) in groups:
-        rad = jnp.where((sample_row >= lo) & (sample_row < hi), float(r), rad)
-    inv_area = 1.0 / (2.0 * rad + 1.0) ** 2
-
-    grid_i = jax.lax.broadcasted_iota(jnp.int32, (n_i, s), 0).astype(jnp.float32)
-    rad_t = rad.reshape(1, s)
-    inv_area_t = inv_area.reshape(1, s)
-
-    def corner_weights(local_t, scale):
-        """Transposed integral-corner difference columns: box sum over
-        [c+R-r, c+R+r] = e[c+R+r+1] - e[c+R-r] on the integral. Bilinear mode
-        folds the two interpolation taps into the same column (separable in y
-        and x, weights sum to 1)."""
-        row = local_t[None, :]
-        if not bilinear:
-            c = jnp.round(row)
-            w = ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
-                 - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
-            return w * scale if scale is not None else w
-        c0 = jnp.clip(jnp.floor(row), 0.0, float(ps - 1))
-        c1 = jnp.clip(c0 + 1.0, 0.0, float(ps - 1))
-        frac = row - jnp.floor(row)
-        w = jnp.zeros_like(grid_i)
-        for c, wgt in ((c0, 1.0 - frac), (c1, frac)):
-            w = w + wgt * ((grid_i == c + (r_max + rad_t + 1.0)).astype(jnp.float32)
-                           - (grid_i == c + (r_max - rad_t)).astype(jnp.float32))
-        return w * scale if scale is not None else w
-
-    def cumsum_doubling(x, axis):
-        """Exact f32 inclusive cumsum via log2 shifted adds (VPU, no MXU)."""
-        size = x.shape[axis]
-        sh = 1
-        while sh < size:
-            if axis == 1:
-                shifted = jnp.concatenate(
-                    [jnp.zeros((x.shape[0], sh), x.dtype), x[:, :-sh]], axis=1)
-            else:
-                shifted = jnp.concatenate(
-                    [jnp.zeros((sh, x.shape[1]), x.dtype), x[:-sh, :]], axis=0)
-            x = x + shifted
-            sh *= 2
-        return x
-
+    compute = _make_tile_compute(ly_ref.shape[-1], ps, r_max, groups,
+                                 bilinear, integer_exact)
     ly = ly_ref[:]
     lx = lx_ref[:]
-
     for t in range(tile):
         # Undo the lane misalignment: rotate left by `fine` so column 0 is the
         # true (unaligned) window origin, then keep the narrow psi columns.
@@ -176,85 +242,67 @@ def _sample_kernel(
         # rotation otherwise.)
         shift = jax.lax.rem(psd_x - fines[t], psd_x)
         rolled = pltpu.roll(patch_ref[slot, t], shift, axis=1)
-        patch = rolled[:psi, :psi]   # (psi, psi)
+        out_ref[t, :] = compute(rolled[:psi, :psi], ly[t], lx[t])
 
-        # Centered integral image, exact-f32 doubling cumsums on the VPU
-        # (centering keeps |I| ~ sqrt(area)*128, preserving f32 box means to
-        # ~2e-4; uncentered would cost ~1.5e-2).
-        centered = patch - 127.5
-        cc = cumsum_doubling(cumsum_doubling(centered, 1), 0)   # (psi, psi)
-        integ = jnp.pad(cc, ((1, 0), (1, 0)))                   # (psi+1, psi+1)
 
-        # Integral quadratic form: every box sample is ohyC^T I ohxC with
-        # corner-difference columns — no per-radius banks, one contraction per
-        # keypoint, oriented (psi+1, psi+1) @ (psi+1, S) so N fills MXU tiles.
-        # The integral's magnitude (up to ~5e3) exceeds what Mosaic matmuls
-        # preserve (default truncates operands to bf16; HIGHEST still loses
-        # low bits at this scale), so I is split manually into three bf16
-        # planes. In nearest mode the x-corner columns are +/-1 (bf16-exact),
-        # so f32 selection is reconstructed to ~3e-4 abs; in bilinear mode the
-        # columns carry fractional interpolation weights and are also split
-        # (bf16 head + residual, ~2e-3 abs). All planes are packed along the
-        # CONTRACTION axis into a single matmul — sum-of-plane-products is one
-        # accumulation, and K = 3*(psi+1) [6*(psi+1) bilinear] rounds to fewer
-        # 128-wide MXU tiles than separate per-plane matmuls (213 -> 2 tiles
-        # vs 3x1, a 33% MXU-pass saving) with one dispatch instead of 3 (6).
-        # The y-corner weights and the 1/area scale are applied in the exact
-        # f32 epilogue.
-        ohy_c = corner_weights(ly[t], None)          # (psi+1, S)
-        ohx_c = corner_weights(lx[t], None)          # (psi+1, S)
+def _sample_kernel_resident(
+    # scalar prefetch
+    start_y_ref, start_x_ref,
+    # inputs
+    image_ref,       # (B*Hp, Wp) HBM (ANY), rows flattened batch-major
+    ly_ref, lx_ref,  # (T, S) VMEM block
+    # output
+    out_ref,         # (T, S) VMEM block
+    # scratch
+    img_vmem,        # (B*Hp, Wp) VMEM — whole image, resident across steps
+    sem,             # single DMA semaphore
+    *,
+    tile: int,
+    n_kpts: int,
+    hp: int,
+    psd_y: int,
+    psd_x: int,
+    ps: int,
+    r_max: int,
+    groups: tuple,
+    bilinear: bool,
+    integer_exact: bool,
+):
+    """VMEM-resident path: ONE whole-image DMA at grid step 0 (a 480x640
+    pair is ~3 MB — trivially VMEM-resident), then every keypoint window is
+    sliced straight out of VMEM. Eliminates the per-keypoint window DMAs
+    (~75 MB/frame of HBM reads at the flagship shape: overlapping 72x256
+    windows re-fetch each pixel ~25x) and all double-buffer synchronization;
+    TPU grid steps run sequentially, so steps > 0 see the completed copy."""
+    i = pl.program_id(0)
+    psi = ps + 2 * r_max
 
-        if integer_exact and not bilinear:
-            # Integer-image exact path: pixel values are integers (uint8-
-            # derived), so 2*centered is an exact integer and the integral
-            # fits 21 bits (<= 2 * psi^2 * 127.5 ~ 1.25M). Decompose into
-            # three signed base-256 digit planes and contract against int8
-            # +/-1 corner columns with int32 accumulation — box sums are
-            # EXACT (the bf16x3 split is ~3e-5). Digit planes stack along M
-            # (scales differ per plane, so K-packing can't fold them); the
-            # 65536/256 recombination runs in the f32 epilogue. Measured ~15%
-            # slower than the bf16x3 path on v5e (Mosaic does not hit the 2x
-            # int8 MXU rate at these shapes), so this is an opt-in exactness
-            # mode, not the default.
-            vi = jnp.round(2.0 * cc).astype(jnp.int32)
-            vi = jnp.pad(vi, ((1, 0), (1, 0)))
-            d0 = ((vi + 128) % 256) - 128
-            rem = (vi - d0) // 256
-            d1 = ((rem + 128) % 256) - 128
-            d2 = (rem - d1) // 256                  # |d2| <= ~39
-            m_cat = jnp.concatenate(
-                [d2.astype(jnp.int8), d1.astype(jnp.int8),
-                 d0.astype(jnp.int8)], axis=0)      # (3*n_i, n_i)
-            ohx_i8 = ohx_c.astype(jnp.int8)
-            rows3 = jax.lax.dot_general(
-                m_cat, ohx_i8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)   # (3*n_i, S)
-            rows_i = (rows3[:n_i] * 65536 + rows3[n_i:2 * n_i] * 256
-                      + rows3[2 * n_i:])
-            rows = rows_i.astype(jnp.float32) * 0.5
-            box_sum = (rows * ohy_c).sum(axis=0)
-            out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
-            continue
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(image_ref, img_vmem, sem)
+        cp.start()
+        cp.wait()
 
-        i1 = integ.astype(jnp.bfloat16).astype(jnp.float32)
-        r1 = integ - i1
-        i2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-        i3 = r1 - i2
-        if bilinear:
-            x_hi = ohx_c.astype(jnp.bfloat16).astype(jnp.float32)
-            x_lo = ohx_c - x_hi
-            # The i3*x_lo cross term is dropped: |i3| <= |I|*2^-18 (~0.02) and
-            # |x_lo| <= 2^-9, so its box-sum contribution is <= ~1e-4 — two
-            # orders below the bilinear path's 2e-3 accuracy — and skipping it
-            # packs K = 5*(psi+1) = 355 -> 3 128-wide K-tiles instead of 4.
-            i_cat = jnp.concatenate([i1, i2, i3, i1, i2], axis=1)
-            x_cat = jnp.concatenate([x_hi, x_hi, x_hi, x_lo, x_lo], axis=0)
-        else:
-            i_cat = jnp.concatenate([i1, i2, i3], axis=1)   # (n_i, 3*n_i)
-            x_cat = jnp.concatenate([ohx_c] * 3, axis=0)    # (3*n_i, S)
-        rows = jnp.dot(i_cat, x_cat, preferred_element_type=jnp.float32)
-        box_sum = (rows * ohy_c).sum(axis=0)         # (S,)
-        out_ref[t, :] = box_sum * inv_area[:, 0] + 127.5
+    compute = _make_tile_compute(ly_ref.shape[-1], ps, r_max, groups,
+                                 bilinear, integer_exact)
+    ly = ly_ref[:]
+    lx = lx_ref[:]
+    for t in range(tile):
+        sy, sx, fine = _origin(start_y_ref, start_x_ref, i * tile + t,
+                               n_kpts, hp)
+        window = img_vmem[pl.ds(sy, psd_y), pl.ds(sx, psd_x)]
+        # Same lane-misalignment fix as the windowed path.
+        shift = jax.lax.rem(psd_x - fine, psd_x)
+        rolled = pltpu.roll(window, shift, axis=1)
+        out_ref[t, :] = compute(rolled[:psi, :psi], ly[t], lx[t])
+
+
+# Whole-image VMEM residency budget. v5e VMEM is ~16 MB/core; the resident
+# path needs the image plus the (tile, S) coordinate/output blocks and the
+# matmul working set, so cap the image itself well below the total. A 480x640
+# f32 pair (~3 MB) is far under this; 4K-class inputs fall back to windowed
+# DMA.
+_VMEM_RESIDENT_MAX_BYTES = 8 * 1024 * 1024
 
 
 @functools.partial(
@@ -288,16 +336,38 @@ def sparse_box_sample(
         raise ValueError(f"B*K={b * k} must be divisible by tile={tile}")
     psd_y, psd_x, _ = dma_geometry(ps, r_max)
 
-    # Grow the image so the largest aligned origin + window stays in bounds.
+    # Grow the image so the largest aligned origin + window stays in bounds,
+    # then round rows to 8 and columns to 128 so batch-flattened row origins
+    # stay 8-aligned and whole-row DMAs stay 128-aligned.
     hp, wp = image_padded.shape[-2:]
     h = hp - 2 * r_max
     w = wp - 2 * r_max
-    extra_y = max(0, ((h - ps) // 8 * 8) + psd_y - hp)
-    extra_x = max(0, ((w - ps) // 128 * 128) + psd_x - wp)
-    if extra_y or extra_x:
+    hp2 = _round_up(max(hp, ((h - ps) // 8 * 8) + psd_y), 8)
+    wp2 = _round_up(max(wp, ((w - ps) // 128 * 128) + psd_x), 128)
+    if (hp2, wp2) != (hp, wp):
         image_padded = jnp.pad(image_padded,
-                               ((0, 0), (0, extra_y), (0, extra_x)),
+                               ((0, 0), (0, hp2 - hp), (0, wp2 - wp)),
                                mode="edge")
+    image_flat = image_padded.reshape(b * hp2, wp2)
+
+    resident = image_flat.size * 4 <= _VMEM_RESIDENT_MAX_BYTES
+    if resident:
+        kernel = functools.partial(
+            _sample_kernel_resident, tile=tile, n_kpts=k, hp=hp2,
+            psd_y=psd_y, psd_x=psd_x, ps=ps, r_max=r_max, groups=groups,
+            bilinear=bilinear, integer_exact=integer_exact)
+        scratch_shapes = [
+            pltpu.VMEM((b * hp2, wp2), jnp.float32),   # resident image
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = functools.partial(
+            _sample_kernel, tile=tile, n_kpts=k, hp=hp2, ps=ps, r_max=r_max,
+            groups=groups, bilinear=bilinear, integer_exact=integer_exact)
+        scratch_shapes = [
+            pltpu.VMEM((2, tile, psd_y, psd_x), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2, tile)),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -311,22 +381,15 @@ def sparse_box_sample(
         ],
         out_specs=pl.BlockSpec((tile, s), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile, psd_y, psd_x), jnp.float32),  # double buffer
-            pltpu.SemaphoreType.DMA((2, tile)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
-
-    kernel = functools.partial(
-        _sample_kernel, tile=tile, n_kpts=k, ps=ps, r_max=r_max,
-        groups=groups, bilinear=bilinear, integer_exact=integer_exact)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * k, s), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(start_y.reshape(-1), start_x.reshape(-1), image_padded,
+    )(start_y.reshape(-1), start_x.reshape(-1), image_flat,
       ly.reshape(b * k, s), lx.reshape(b * k, s))
     return out.reshape(b, k, s)
 

@@ -41,6 +41,26 @@ def test_sparse_sampler_interpret_matches_oracle(sample_problem, bilinear):
     np.testing.assert_allclose(got, exp, atol=5e-3)
 
 
+def test_sparse_sampler_windowed_path_interpret(sample_problem):
+    """The windowed-DMA fallback (images beyond the VMEM residency budget)
+    must match the oracle too. Forced by zeroing the budget; a fresh K makes
+    the jit trace anew (the budget is read at trace time)."""
+    import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+
+    imgp, sy, sx, ly, lx, ps, r, groups = sample_problem
+    sy2, sx2, ly2, lx2 = sy[:, :8], sx[:, :8], ly[:, :8], lx[:, :8]
+    old = ss._VMEM_RESIDENT_MAX_BYTES
+    ss._VMEM_RESIDENT_MAX_BYTES = 0
+    try:
+        got = np.asarray(sparse_box_sample(imgp, sy2, sx2, ly2, lx2, ps, r,
+                                           groups, interpret=True))
+    finally:
+        ss._VMEM_RESIDENT_MAX_BYTES = old
+    exp = np.asarray(reference_box_sample(imgp, sy2, sx2, ly2, lx2, ps, r,
+                                          groups))
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
 def test_oracle_matches_direct_box_means(sample_problem):
     """The jnp oracle itself must equal brute-force box means."""
     imgp, sy, sx, ly, lx, ps, r, groups = sample_problem
