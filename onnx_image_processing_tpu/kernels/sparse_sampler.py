@@ -254,7 +254,7 @@ def _sample_kernel_resident(
     # output
     out_ref,         # (T, S) VMEM block
     # scratch
-    img_vmem,        # (B*Hp, Wp) VMEM — whole image, resident across steps
+    img_vmem,        # (Hp, Wp) VMEM — ONE image, resident across its steps
     sem,             # single DMA semaphore
     *,
     tile: int,
@@ -268,18 +268,26 @@ def _sample_kernel_resident(
     bilinear: bool,
     integer_exact: bool,
 ):
-    """VMEM-resident path: ONE whole-image DMA at grid step 0 (a 480x640
-    pair is ~3 MB — trivially VMEM-resident), then every keypoint window is
+    """Per-image VMEM-resident path: keypoints are image-major on the grid,
+    so each image (a 480x640 frame is ~1.5 MB — trivially VMEM-resident) is
+    DMA'd ONCE when its keypoint range begins, then every keypoint window is
     sliced straight out of VMEM. Eliminates the per-keypoint window DMAs
     (~75 MB/frame of HBM reads at the flagship shape: overlapping 72x256
-    windows re-fetch each pixel ~25x) and all double-buffer synchronization;
-    TPU grid steps run sequentially, so steps > 0 see the completed copy."""
+    windows re-fetch each pixel ~25x) and all double-buffer synchronization
+    at constant VMEM for any batch size; TPU grid steps run sequentially, so
+    later steps of the image see the completed copy. (A whole-batch-resident
+    variant measured SLOWER at B=4 images — 6 MB of resident VMEM thrashes
+    the working set — hence per-image.)"""
     i = pl.program_id(0)
     psi = ps + 2 * r_max
+    steps_per_image = n_kpts // tile   # wrapper guarantees divisibility
 
-    @pl.when(i == 0)
+    @pl.when(i % steps_per_image == 0)
     def _():
-        cp = pltpu.make_async_copy(image_ref, img_vmem, sem)
+        b = (i * tile) // n_kpts
+        cp = pltpu.make_async_copy(
+            image_ref.at[pl.ds(pl.multiple_of(b * hp, 8), hp), :],
+            img_vmem, sem)
         cp.start()
         cp.wait()
 
@@ -288,8 +296,12 @@ def _sample_kernel_resident(
     ly = ly_ref[:]
     lx = lx_ref[:]
     for t in range(tile):
-        sy, sx, fine = _origin(start_y_ref, start_x_ref, i * tile + t,
-                               n_kpts, hp)
+        k_global = i * tile + t
+        # In-image origin: no batch row offset — img_vmem holds this image.
+        sy = pl.multiple_of(start_y_ref[k_global], 8)
+        sxf = start_x_ref[k_global]
+        sx = pl.multiple_of((sxf // 128) * 128, 128)
+        fine = sxf - sx
         window = img_vmem[pl.ds(sy, psd_y), pl.ds(sx, psd_x)]
         # Same lane-misalignment fix as the windowed path.
         shift = jax.lax.rem(psd_x - fine, psd_x)
@@ -297,12 +309,12 @@ def _sample_kernel_resident(
         out_ref[t, :] = compute(rolled[:psi, :psi], ly[t], lx[t])
 
 
-# Whole-image VMEM residency budget. v5e VMEM is ~16 MB/core; the resident
-# path needs the image plus the (tile, S) coordinate/output blocks and the
+# Per-image VMEM residency budget. v5e VMEM is ~16 MB/core; the resident
+# path needs one image plus the (tile, S) coordinate/output blocks and the
 # matmul working set, so cap the image itself well below the total. A 480x640
-# f32 pair (~3 MB) is far under this; 4K-class inputs fall back to windowed
-# DMA.
-_VMEM_RESIDENT_MAX_BYTES = 8 * 1024 * 1024
+# f32 frame (~1.5 MB) is far under this; 4K-class inputs fall back to
+# windowed DMA.
+_VMEM_RESIDENT_MAX_BYTES = 4 * 1024 * 1024
 
 
 @functools.partial(
@@ -350,14 +362,14 @@ def sparse_box_sample(
                                mode="edge")
     image_flat = image_padded.reshape(b * hp2, wp2)
 
-    resident = image_flat.size * 4 <= _VMEM_RESIDENT_MAX_BYTES
+    resident = hp2 * wp2 * 4 <= _VMEM_RESIDENT_MAX_BYTES and k % tile == 0
     if resident:
         kernel = functools.partial(
             _sample_kernel_resident, tile=tile, n_kpts=k, hp=hp2,
             psd_y=psd_y, psd_x=psd_x, ps=ps, r_max=r_max, groups=groups,
             bilinear=bilinear, integer_exact=integer_exact)
         scratch_shapes = [
-            pltpu.VMEM((b * hp2, wp2), jnp.float32),   # resident image
+            pltpu.VMEM((hp2, wp2), jnp.float32),   # one resident image
             pltpu.SemaphoreType.DMA,
         ]
     else:

@@ -41,6 +41,26 @@ def test_sparse_sampler_interpret_matches_oracle(sample_problem, bilinear):
     np.testing.assert_allclose(got, exp, atol=5e-3)
 
 
+def test_sparse_sampler_resident_image_swap_interpret():
+    """Per-image VMEM residency with B=2: the kernel must re-DMA the resident
+    image at each image boundary on the grid (keypoints are image-major)."""
+    rng = np.random.default_rng(11)
+    b, k, s, ps, r = 2, 16, 32, 56, 7
+    h, w = 120, 160
+    img = rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+    imgp = np.pad(img, ((0, 0), (r, r), (r, r)), mode="edge")
+    sy = (rng.integers(0, (h - ps) // 8 + 1, (b, k)) * 8).astype(np.int32)
+    sx = rng.integers(0, w - ps, (b, k)).astype(np.int32)
+    ly = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    lx = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    groups = ((0, 0, 8), (2, 8, 20), (6, 20, 32))
+    args = (jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx),
+            jnp.asarray(ly), jnp.asarray(lx), ps, r, groups)
+    got = np.asarray(sparse_box_sample(*args, interpret=True))
+    exp = np.asarray(reference_box_sample(*args))
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
 def test_sparse_sampler_windowed_path_interpret(sample_problem):
     """The windowed-DMA fallback (images beyond the VMEM residency budget)
     must match the oracle too. Forced by zeroing the budget; a fresh K makes
