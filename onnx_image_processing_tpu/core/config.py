@@ -133,6 +133,14 @@ class MatcherConfig:
     # perf one (see kernels/sparse_sampler.py).
     integer_image: bool = False
 
+    # Route the detect side (Shi-Tomasi score + orientation moments + NMS)
+    # through the fused Pallas front-end (kernels/detect_frontend.py). OFF by
+    # default: measured 0.134 ms vs 0.095 ms for XLA's own fusion of the
+    # separable stencils on v5e (and it blocks cross-stage overlap in the
+    # full graph, 1689 -> 1309 FPS) — kept as an opt-in so the negative
+    # result stays reproducible.
+    fused_detect: bool = False
+
     def with_(self, **kwargs) -> "MatcherConfig":
         """Replace fields. Flat sub-config keys are accepted with their prefix:
         ``fast_threshold=30`` == ``fast=cfg.fast.with_(threshold=30)``; same for

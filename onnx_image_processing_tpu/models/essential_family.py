@@ -29,6 +29,8 @@ from .shi_tomasi_family import (
     _select_keypoints,
     _stack_pair,
     _split_pair,
+    _select_premasked,
+    _use_fused_detect,
     shi_tomasi_with_angle,
 )
 
@@ -45,11 +47,24 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
         raise ValueError(
             f"essential-matrix pipelines require batch size 1, got {image1.shape[0]}")
     both = _stack_pair(image1, image2)
-    scores, angles = detect_fn(both, cfg)
     margin = _resolve_border_margin(cfg, sparse=True)
-    kpts, kscores = _select_keypoints(scores, cfg, margin)
+    if detect_fn is shi_tomasi_with_angle and _use_fused_detect(cfg):
+        # Fused Pallas detect front-end (kernels/detect_frontend.py); the
+        # AKAZE variant keeps its own detect path.
+        from ..kernels.detect_frontend import detect_frontend
+
+        masked, m10, m01 = detect_frontend(
+            both, block_size=cfg.block_size, patch_size=cfg.patch_size,
+            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=True)
+        kpts, kscores = _select_premasked(masked, cfg, margin)
+        angles, orientation_mm = None, (m10, m01)
+    else:
+        scores, angles = detect_fn(both, cfg)
+        kpts, kscores = _select_keypoints(scores, cfg, margin)
+        orientation_mm = None
     desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
-                      orientation=angles, binarize=cfg.binarize,
+                      orientation=angles, orientation_mm=orientation_mm,
+                      binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,

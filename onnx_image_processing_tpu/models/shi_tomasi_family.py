@@ -59,6 +59,23 @@ def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
                                  nms_radius=block_r)
 
 
+def _use_fused_detect(cfg: MatcherConfig) -> bool:
+    """Opt-in only: the fused Pallas detect front-end measured SLOWER than
+    XLA's own fusion of the separable stencils (see MatcherConfig.fused_detect
+    and docs/KERNELS.md) — XLA stays the default."""
+    return cfg.fused_detect
+
+
+def _select_premasked(masked_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
+    """select_topk_keypoints over a map that already carries the NMS mask
+    (the fused front-end's output is score * nms_mask)."""
+    masked = masked_b1hw[:, 0]
+    block_r = cfg.nms_radius if cfg.topk_mode == "block" else None
+    return select_topk_keypoints(masked, jnp.ones_like(masked),
+                                 cfg.max_keypoints, cfg.score_threshold,
+                                 margin, nms_radius=block_r)
+
+
 # ---------------------------------------------------------------------------
 # Single-image detectors (the reference's exportable detector heads)
 # ---------------------------------------------------------------------------
@@ -116,14 +133,25 @@ def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
     Returns:
         keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
     """
-    scores, angles = shi_tomasi_with_angle(image, cfg)
     # The reference detector variant selects WITHOUT a border margin
     # (`shi_tomasi_angle.py:344-346` passes the util's default of 0), unlike
     # the matcher variants which default to the descriptor max radius.
     margin = cfg.border_margin if cfg.border_margin is not None else 0
-    kpts, kscores = _select_keypoints(scores, cfg, margin)
+    if _use_fused_detect(cfg):
+        from ..kernels.detect_frontend import detect_frontend
+
+        masked, m10, m01 = detect_frontend(
+            image, block_size=cfg.block_size, patch_size=cfg.patch_size,
+            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=True)
+        kpts, kscores = _select_premasked(masked, cfg, margin)
+        angles, orientation_mm = None, (m10, m01)
+    else:
+        scores, angles = shi_tomasi_with_angle(image, cfg)
+        kpts, kscores = _select_keypoints(scores, cfg, margin)
+        orientation_mm = None
     desc = sparse_bad(image, kpts, load_bad_params(cfg.num_pairs),
-                      orientation=angles, binarize=cfg.binarize,
+                      orientation=angles, orientation_mm=orientation_mm,
+                      binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
@@ -187,13 +215,37 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
 
 def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                             with_angle: bool):
-    """Shared sparse path over a stacked (2B) image batch."""
+    """Shared sparse path over a stacked (2B) image batch.
+
+    On TPU the whole detect side (Shi-Tomasi score + orientation moments +
+    NMS mask) runs as ONE fused Pallas pass (`kernels/detect_frontend.py`);
+    orientation reaches the descriptor as (m10, m01) moment maps with atan2
+    applied per sampled keypoint — identical values, no dense atan2.
+    """
+    margin = _resolve_border_margin(cfg, sparse=True)
+    if _use_fused_detect(cfg):
+        from ..kernels.detect_frontend import detect_frontend
+
+        masked, m10, m01 = detect_frontend(
+            both, block_size=cfg.block_size, patch_size=cfg.patch_size,
+            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=with_angle)
+        kpts, _ = _select_premasked(masked, cfg, margin)
+        desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
+                          orientation=None,
+                          orientation_mm=(m10, m01) if with_angle else None,
+                          binarize=cfg.binarize,
+                          soft_binarize=cfg.soft_binarize,
+                          temperature=cfg.temperature,
+                          normalize_descriptors=cfg.normalize_descriptors,
+                          sampling_mode=cfg.sampling_mode,
+                          use_pallas=cfg.use_pallas,
+                          integer_image=cfg.integer_image)
+        return kpts, desc
     if with_angle:
         scores, angles = shi_tomasi_with_angle(both, cfg)
     else:
         scores = shi_tomasi_score(both, block_size=cfg.block_size)
         angles = None
-    margin = _resolve_border_margin(cfg, sparse=True)
     kpts, _ = _select_keypoints(scores, cfg, margin)
     desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
                       orientation=angles, binarize=cfg.binarize,

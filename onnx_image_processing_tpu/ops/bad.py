@@ -241,6 +241,7 @@ def sparse_bad(
     sampling_mode: str = "nearest",
     use_pallas: bool | None = None,
     integer_image: bool = False,
+    orientation_mm: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """BAD descriptors at keypoint locations only.
 
@@ -260,6 +261,12 @@ def sparse_bad(
         params: learned constants.
         orientation: optional (B, 1, H, W) orientation map; sampled (nearest) at
             keypoints and used to rotate pair offsets (`bad.py:487-517`).
+        orientation_mm: optional (m10, m01) moment-map pair, each (B, 1, H, W),
+            as produced by ``kernels.detect_frontend``. Sampled (nearest) at
+            keypoints with atan2 applied per keypoint — identical to sampling
+            the dense ``arctan2(m01, m10)`` map (nearest sampling commutes
+            with elementwise ops) without materializing it. Mutually
+            exclusive with ``orientation``.
         sampling_mode: 'nearest' (default, reference default) or 'bilinear'.
         use_pallas: force the Pallas (True) or jnp (False) sampler; None picks
             by the default device platform.
@@ -332,8 +339,17 @@ def sparse_bad(
     off_x_j = jnp.asarray(np.concatenate(off_x_list).astype(np.float32)
                           )[None, None, :]
 
-    if orientation is not None:
+    if orientation_mm is not None and orientation is not None:
+        raise ValueError("pass either orientation or orientation_mm, not both")
+    if orientation_mm is not None:
+        m10_s = sample_nearest(orientation_mm[0].astype(jnp.float32)[:, 0], ky, kx)
+        m01_s = sample_nearest(orientation_mm[1].astype(jnp.float32)[:, 0], ky, kx)
+        theta = jnp.arctan2(m01_s, m10_s)  # (B, K)
+    elif orientation is not None:
         theta = sample_nearest(orientation.astype(jnp.float32)[:, 0], ky, kx)  # (B, K)
+    else:
+        theta = None
+    if theta is not None:
         cos_t = jnp.cos(theta)[..., None]  # (B, K, 1)
         sin_t = jnp.sin(theta)[..., None]
         dy = off_x_j * sin_t + off_y_j * cos_t

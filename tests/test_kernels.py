@@ -158,6 +158,91 @@ def test_integer_exact_path_interpret():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+@pytest.mark.parametrize("hw", [(480, 640), (200, 300)])
+def test_detect_frontend_interpret_matches_ops(hw):
+    """Fused Shi-Tomasi + moments + NMS front-end vs the XLA ops composition,
+    including non-multiple-of-stripe heights and border semantics (replicate
+    for score, zero for moments, -inf-outside for NMS)."""
+    from onnx_image_processing_tpu.kernels.detect_frontend import (
+        detect_frontend, detect_frontend_reference)
+
+    h, w = hw
+    rng = np.random.default_rng(31)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 1, h, w)).astype(np.float32))
+    got = detect_frontend(img, interpret=True)
+    exp = detect_frontend_reference(img)
+    for g, e, name, tol in zip(got, exp, ("masked", "m10", "m01"),
+                               (2e-2, 2e-2, 2e-2)):
+        g, e = np.asarray(g), np.asarray(e)
+        scale = max(1.0, float(np.abs(e).max()))
+        np.testing.assert_allclose(g / scale, e / scale, atol=tol / scale,
+                                   err_msg=name)
+    # NMS survivor sets must agree except at razor-thin ties.
+    m_g, m_e = np.asarray(got[0]), np.asarray(exp[0])
+    assert ((m_g > 0) != (m_e > 0)).mean() < 1e-4
+
+
+def test_detect_frontend_no_angle_interpret():
+    from onnx_image_processing_tpu.kernels.detect_frontend import (
+        detect_frontend, detect_frontend_reference)
+
+    rng = np.random.default_rng(33)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 1, 96, 144)).astype(np.float32))
+    got = detect_frontend(img, with_angle=False, interpret=True)
+    exp = detect_frontend_reference(img, with_angle=False)
+    assert got[1] is None and got[2] is None
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(exp[0]),
+                               atol=2e-2)
+
+
+def test_flagship_fused_detect_interpret_matches_xla_path(gray_image):
+    """The flagship matcher with the fused detect front-end (interpret mode)
+    must reproduce the plain XLA path: same keypoints, same descriptors."""
+    import onnx_image_processing_tpu.kernels.detect_frontend as df
+    from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        _sparse_detect_describe)
+
+    rng = np.random.default_rng(35)
+    img = jnp.asarray(np.stack([gray_image[0], gray_image[0] + 0.0])[:, None]
+                      if gray_image.ndim == 3 else gray_image)
+    both = jnp.asarray(rng.uniform(0, 255, (2, 1, 120, 160)).astype(np.float32))
+
+    cfg = MatcherConfig(max_keypoints=64)
+    kpts_x, desc_x = _sparse_detect_describe(both, cfg, with_angle=True)
+
+    orig = df.detect_frontend
+
+    def interpreted(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    df.detect_frontend = interpreted
+    try:
+        cfg_p = MatcherConfig(max_keypoints=64, use_pallas=True,
+                              fused_detect=True)
+        import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+        orig_s = ss.sparse_box_sample
+
+        def interp_s(*args, **kw):
+            kw["interpret"] = True
+            return orig_s(*args, **kw)
+
+        ss.sparse_box_sample = interp_s
+        try:
+            kpts_p, desc_p = _sparse_detect_describe(both, cfg_p,
+                                                     with_angle=True)
+        finally:
+            ss.sparse_box_sample = orig_s
+    finally:
+        df.detect_frontend = orig
+
+    np.testing.assert_allclose(np.asarray(kpts_p), np.asarray(kpts_x),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(desc_p), np.asarray(desc_x),
+                               atol=2e-3)
+
+
 def test_akaze_ladder_interpret_matches_oracle():
     """Fused AKAZE ladder kernel vs its jnp oracle (scores + moment maps).
 
