@@ -1,8 +1,10 @@
 """Ablation harness for the sparse-BAD Pallas kernel's internal budget.
 
 An instrumented copy of `kernels/sparse_sampler._sample_kernel` (nearest
-mode, direct box-interval-mask form) where each internal stage can be
-skipped, timed with the differential chain protocol. Skipping a stage
+mode, direct box-interval-mask form, windowed-DMA data path — the resident
+path differs only in where patches are read from) where each internal stage
+can be skipped, timed with the differential chain protocol. Sample-axis
+geometry comes from the production layout builder (`ops/bad.sample_layout`). Skipping a stage
 produces WRONG outputs — the point is the time delta, which attributes the
 kernel's per-frame cost to:
 
@@ -172,30 +174,18 @@ def _ablated_sample(image_padded, start_y, start_x, ly, lx, ps, r_max, groups,
 
 def main():
     setup_cache()
-    from onnx_image_processing_tpu.ops.bad import load_bad_params
+    from onnx_image_processing_tpu.ops.bad import (_PATCH, load_bad_params,
+                                                   sample_layout)
 
     # Flagship geometry: B=2 images, K=512 kpts, 512-pair nearest sampling.
+    # Groups/S come from the SAME layout builder production uses
+    # (ops/bad.sample_layout), so measured geometry can't drift from it.
     params = load_bad_params(512)
     b, k = 2, 512
-    ps, r_max = 56, 7
-    # Unique-box S and groups, reproduced the way ops/bad.py builds them.
-    radii = np.asarray(params.radii)
-    order = np.argsort(radii, kind="stable")
-    rs = radii[order]
-    groups, base, lo = [], 0, 0
-    for r in sorted(set(int(v) for v in np.unique(rs))):
-        hi = lo + int((rs == r).sum())
-        pts = np.stack([
-            np.concatenate([params.offset_y1[order][lo:hi],
-                            params.offset_y2[order][lo:hi]]),
-            np.concatenate([params.offset_x1[order][lo:hi],
-                            params.offset_x2[order][lo:hi]])], axis=1)
-        uniq = np.unique(pts, axis=0)
-        groups.append((r, base, base + len(uniq)))
-        base += len(uniq)
-        lo = hi
-    s = base
-    groups = tuple(groups)
+    ps, r_max = _PATCH, params.max_radius
+    layout = sample_layout(params)
+    groups = layout.groups
+    s = groups[-1][2]
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 255, (b, 480 + 2 * r_max,

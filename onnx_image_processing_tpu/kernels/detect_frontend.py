@@ -255,14 +255,33 @@ def detect_frontend(
     rows_total = hp + 2 * pad
     cols_total = _round_up(w + 2 * pad, 128)
 
+    # VMEM residency budget (same reasoning as the sparse sampler's): the
+    # resident image plus ~a dozen live full-frame intermediates must fit
+    # ~16 MB/core. Past it, fall back to the XLA composition — this is an
+    # opt-in path, so the fallback just restores the default behavior.
+    if rows_total * cols_total * 4 > 6 * 1024 * 1024:
+        return detect_frontend_reference(image, block_size=block_size,
+                                         patch_size=patch_size, sigma=sigma,
+                                         nms_radius=nms_radius,
+                                         with_angle=with_angle)
+
     xp = jnp.pad(x, ((0, 0), (pad, pad + hp - h), (pad, cols_total - w - pad)),
                  mode="edge")
     image_flat = xp.reshape(b * rows_total, cols_total)
 
-    kernel = functools.partial(
+    base_kernel = functools.partial(
         _detect_kernel, n_stripes=n_stripes, rows_total=rows_total, h=h, w=w,
         pad=pad, block_size=block_size, patch_size=patch_size, sigma=sigma,
         nms_radius=nms_radius, with_angle=with_angle)
+    if with_angle:
+        kernel = base_kernel
+        n_out = 3
+    else:
+        # Only the masked-score output exists — no garbage m10/m01 buffers.
+        def kernel(image_ref, score_ref, img_vmem, sem):
+            return base_kernel(image_ref, score_ref, None, None, img_vmem, sem)
+
+        n_out = 1
 
     out_spec = pl.BlockSpec((1, _STRIPE, cols_total), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -272,15 +291,15 @@ def detect_frontend(
         num_scalar_prefetch=0,
         grid=(b * n_stripes,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[out_spec, out_spec, out_spec],
+        out_specs=[out_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((rows_total, cols_total), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ])
 
-    score, m10, m01 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[out_shape, out_shape, out_shape],
+        out_shape=[out_shape] * n_out,
         grid_spec=grid_spec,
         interpret=interpret,
     )(image_flat)
@@ -289,8 +308,8 @@ def detect_frontend(
         return o.reshape(b, hp, cols_total)[:, None, :h, :w]
 
     if not with_angle:
-        return fix(score), None, None
-    return fix(score), fix(m10), fix(m01)
+        return fix(outs[0]), None, None
+    return fix(outs[0]), fix(outs[1]), fix(outs[2])
 
 
 def detect_frontend_reference(image, block_size=3, patch_size=15, sigma=2.5,

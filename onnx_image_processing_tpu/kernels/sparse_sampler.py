@@ -110,7 +110,7 @@ def _make_tile_compute(s, ps, r_max, groups, bilinear, integer_exact):
         # contribution is <= |X|*2^-16*2^-9, far below the mode's 2e-3
         # accuracy). All planes pack along the CONTRACTION axis into a single
         # matmul — sum-of-plane-products is one accumulation, and K = 3*psi
-        # = 213 (5*psi = 355 bilinear) rounds to fewer 128-wide K-tiles than
+        # = 210 (5*psi = 350 bilinear) rounds to fewer 128-wide K-tiles than
         # per-plane matmuls, with one dispatch. The y-interval weights and
         # the 1/area scale are applied in the exact f32 epilogue.
         ohy_c = interval_weights(ly_t)          # (psi, S)

@@ -29,7 +29,7 @@ from .shi_tomasi_family import (
     _select_keypoints,
     _stack_pair,
     _split_pair,
-    _select_premasked,
+    _fused_detect_select,
     _use_fused_detect,
     shi_tomasi_with_angle,
 )
@@ -51,13 +51,9 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
     if detect_fn is shi_tomasi_with_angle and _use_fused_detect(cfg):
         # Fused Pallas detect front-end (kernels/detect_frontend.py); the
         # AKAZE variant keeps its own detect path.
-        from ..kernels.detect_frontend import detect_frontend
-
-        masked, m10, m01 = detect_frontend(
-            both, block_size=cfg.block_size, patch_size=cfg.patch_size,
-            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=True)
-        kpts, kscores = _select_premasked(masked, cfg, margin)
-        angles, orientation_mm = None, (m10, m01)
+        kpts, kscores, orientation_mm = _fused_detect_select(both, cfg,
+                                                             margin, True)
+        angles = None
     else:
         scores, angles = detect_fn(both, cfg)
         kpts, kscores = _select_keypoints(scores, cfg, margin)

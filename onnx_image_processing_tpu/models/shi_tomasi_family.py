@@ -76,6 +76,20 @@ def _select_premasked(masked_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
                                  margin, nms_radius=block_r)
 
 
+def _fused_detect_select(image: jax.Array, cfg: MatcherConfig, margin: int,
+                         with_angle: bool):
+    """Shared fused-front-end dispatch: detect + NMS in one Pallas pass, then
+    top-k select. Returns (kpts, kscores, orientation_mm) where
+    orientation_mm is the (m10, m01) pair for sparse_bad (None unoriented)."""
+    from ..kernels.detect_frontend import detect_frontend
+
+    masked, m10, m01 = detect_frontend(
+        image, block_size=cfg.block_size, patch_size=cfg.patch_size,
+        sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=with_angle)
+    kpts, kscores = _select_premasked(masked, cfg, margin)
+    return kpts, kscores, (m10, m01) if with_angle else None
+
+
 # ---------------------------------------------------------------------------
 # Single-image detectors (the reference's exportable detector heads)
 # ---------------------------------------------------------------------------
@@ -138,13 +152,9 @@ def shi_tomasi_angle_sparse_bad_detect(image: jax.Array, cfg: MatcherConfig):
     # the matcher variants which default to the descriptor max radius.
     margin = cfg.border_margin if cfg.border_margin is not None else 0
     if _use_fused_detect(cfg):
-        from ..kernels.detect_frontend import detect_frontend
-
-        masked, m10, m01 = detect_frontend(
-            image, block_size=cfg.block_size, patch_size=cfg.patch_size,
-            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=True)
-        kpts, kscores = _select_premasked(masked, cfg, margin)
-        angles, orientation_mm = None, (m10, m01)
+        kpts, kscores, orientation_mm = _fused_detect_select(image, cfg,
+                                                             margin, True)
+        angles = None
     else:
         scores, angles = shi_tomasi_with_angle(image, cfg)
         kpts, kscores = _select_keypoints(scores, cfg, margin)
@@ -224,15 +234,10 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
     """
     margin = _resolve_border_margin(cfg, sparse=True)
     if _use_fused_detect(cfg):
-        from ..kernels.detect_frontend import detect_frontend
-
-        masked, m10, m01 = detect_frontend(
-            both, block_size=cfg.block_size, patch_size=cfg.patch_size,
-            sigma=cfg.sigma, nms_radius=cfg.nms_radius, with_angle=with_angle)
-        kpts, _ = _select_premasked(masked, cfg, margin)
+        kpts, _, orientation_mm = _fused_detect_select(both, cfg, margin,
+                                                       with_angle)
         desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
-                          orientation=None,
-                          orientation_mm=(m10, m01) if with_angle else None,
+                          orientation=None, orientation_mm=orientation_mm,
                           binarize=cfg.binarize,
                           soft_binarize=cfg.soft_binarize,
                           temperature=cfg.temperature,

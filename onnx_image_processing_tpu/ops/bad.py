@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import lru_cache
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -229,6 +230,73 @@ def _use_pallas_default() -> bool:
     return platform != "cpu"
 
 
+class SampleLayout(NamedTuple):
+    """Static unique-box sample-axis layout for a learned pair table.
+
+    The learned pairs reuse box endpoints: of the 2P (offset, radius) boxes,
+    only ~79% are distinct (805/1024 for 512 pairs, 447/512 for 256). The
+    sample axis carries each UNIQUE box once, radius-major so each per-radius
+    group is one contiguous slice — every downstream cost (MXU N-tiles,
+    one-hot builds, epilogue lanes) shrinks by the duplicate fraction. The
+    pair descriptor is reassembled by two static index takes (idx1/idx2 map
+    original pair order -> unique box), which also absorb the radius-sort
+    un-permutation. Shared by ``sparse_bad`` and the ablation harness
+    (`benchmarks/ablate_sampler.py`) so measured geometry never diverges
+    from production geometry.
+    """
+
+    groups: tuple      # ((radius, lo, hi), ...) contiguous on the S axis
+    idx1: np.ndarray   # (P,) int32, original pair order -> unique box
+    idx2: np.ndarray
+    off_y: np.ndarray  # (S,) f32 unique-box offsets, radius-major
+    off_x: np.ndarray
+
+
+@lru_cache(maxsize=None)
+def _sample_layout_cached(num_pairs: int) -> SampleLayout:
+    params = load_bad_params(num_pairs)
+    p = params.num_pairs
+    radii_np = np.asarray(params.radii)
+    order = np.argsort(radii_np, kind="stable")
+    inv_order_np = np.argsort(order)
+    radii_sorted = radii_np[order]
+
+    group_bounds = []
+    idx1_sorted = np.empty(p, np.int64)
+    idx2_sorted = np.empty(p, np.int64)
+    off_y_list, off_x_list = [], []
+    base = 0
+    lo = 0
+    for r in sorted(set(int(v) for v in np.unique(radii_sorted))):
+        hi = lo + int((radii_sorted == r).sum())
+        n_g = hi - lo
+        pts = np.stack([
+            np.concatenate([params.offset_y1[order][lo:hi],
+                            params.offset_y2[order][lo:hi]]),
+            np.concatenate([params.offset_x1[order][lo:hi],
+                            params.offset_x2[order][lo:hi]]),
+        ], axis=1)
+        uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+        idx1_sorted[lo:hi] = base + inv[:n_g]
+        idx2_sorted[lo:hi] = base + inv[n_g:]
+        off_y_list.append(uniq[:, 0])
+        off_x_list.append(uniq[:, 1])
+        group_bounds.append((r, base, base + len(uniq)))
+        base += len(uniq)
+        lo = hi
+    return SampleLayout(
+        groups=tuple(group_bounds),
+        idx1=idx1_sorted[inv_order_np].astype(np.int32),
+        idx2=idx2_sorted[inv_order_np].astype(np.int32),
+        off_y=np.concatenate(off_y_list).astype(np.float32),
+        off_x=np.concatenate(off_x_list).astype(np.float32))
+
+
+def sample_layout(params: BADParams) -> SampleLayout:
+    """Unique-box sample-axis layout for ``params`` (cached per table size)."""
+    return _sample_layout_cached(params.num_pairs)
+
+
 def sparse_bad(
     image: jax.Array,
     keypoints: jax.Array,
@@ -294,50 +362,12 @@ def sparse_bad(
     ky = jnp.clip(keypoints[:, :, 0], 0.0, float(h - 1))
     kx = jnp.clip(keypoints[:, :, 1], 0.0, float(w - 1))
 
-    # Pairs statically sorted by radius: every per-radius group below becomes a
-    # contiguous slice (no fancy-index gathers/scatters in the hot path).
-    radii_np = np.asarray(params.radii)
-    order = np.argsort(radii_np, kind="stable")
-    inv_order_np = np.argsort(order)
-    radii_sorted = radii_np[order]
-
-    # The learned pairs reuse box endpoints: of the 2P (offset, radius) boxes,
-    # only ~79% are distinct (805/1024 for 512 pairs, 447/512 for 256). The
-    # sample axis therefore carries each UNIQUE box once, radius-major so each
-    # per-radius group is one contiguous slice — every downstream cost (MXU
-    # N-tiles, one-hot builds, epilogue lanes) shrinks by the duplicate
-    # fraction. The pair descriptor is reassembled afterwards by two static
-    # index takes (idx1/idx2 map original pair order -> unique box), which
-    # also absorb the radius-sort un-permutation that used to be a third take.
-    group_bounds = []   # (radius, lo, hi) on the unique-box sample axis
-    idx1_sorted = np.empty(p, np.int64)
-    idx2_sorted = np.empty(p, np.int64)
-    off_y_list, off_x_list = [], []
-    base = 0
-    lo = 0
-    for r in sorted(set(int(v) for v in np.unique(radii_sorted))):
-        hi = lo + int((radii_sorted == r).sum())
-        n_g = hi - lo
-        pts = np.stack([
-            np.concatenate([params.offset_y1[order][lo:hi],
-                            params.offset_y2[order][lo:hi]]),
-            np.concatenate([params.offset_x1[order][lo:hi],
-                            params.offset_x2[order][lo:hi]]),
-        ], axis=1)
-        uniq, inv = np.unique(pts, axis=0, return_inverse=True)
-        idx1_sorted[lo:hi] = base + inv[:n_g]
-        idx2_sorted[lo:hi] = base + inv[n_g:]
-        off_y_list.append(uniq[:, 0])
-        off_x_list.append(uniq[:, 1])
-        group_bounds.append((r, base, base + len(uniq)))
-        base += len(uniq)
-        lo = hi
-    idx1 = jnp.asarray(idx1_sorted[inv_order_np].astype(np.int32))
-    idx2 = jnp.asarray(idx2_sorted[inv_order_np].astype(np.int32))
-    off_y_j = jnp.asarray(np.concatenate(off_y_list).astype(np.float32)
-                          )[None, None, :]  # (1, 1, S_unique)
-    off_x_j = jnp.asarray(np.concatenate(off_x_list).astype(np.float32)
-                          )[None, None, :]
+    layout = sample_layout(params)
+    idx1 = jnp.asarray(layout.idx1)
+    idx2 = jnp.asarray(layout.idx2)
+    off_y_j = jnp.asarray(layout.off_y)[None, None, :]  # (1, 1, S_unique)
+    off_x_j = jnp.asarray(layout.off_x)[None, None, :]
+    group_bounds = layout.groups
 
     if orientation_mm is not None and orientation is not None:
         raise ValueError("pass either orientation or orientation_mm, not both")

