@@ -181,3 +181,37 @@ def test_dense_oriented_tiled_equals_gather(gray_image):
     t = np.asarray(dense_bad(img, params, orientation=theta,
                              oriented_route="tiled"))
     np.testing.assert_allclose(t, g, atol=2e-3)
+
+
+@pytest.mark.parametrize("num_pairs", [256, 512])
+def test_sample_layout_reconstruction(num_pairs):
+    """The shared unique-box layout (ops/bad.sample_layout) must exactly
+    reconstruct the learned pair table: off/radius at idx1/idx2 equal the
+    original per-pair endpoints, groups are radius-contiguous, and the boxes
+    on the sample axis are pairwise distinct within each radius group."""
+    from onnx_image_processing_tpu.ops.bad import sample_layout
+
+    params = load_bad_params(num_pairs)
+    lay = sample_layout(params)
+    s = lay.groups[-1][2]
+    assert lay.off_y.shape == (s,) and lay.off_x.shape == (s,)
+    assert s <= 2 * num_pairs  # dedup never grows the axis
+
+    # Radius per sample slot from the group table.
+    rad = np.empty(s, np.int32)
+    prev_hi = 0
+    for r, lo, hi in lay.groups:
+        assert lo == prev_hi  # contiguous, in order
+        rad[lo:hi] = r
+        # boxes unique within the group
+        boxes = set(zip(lay.off_y[lo:hi].tolist(), lay.off_x[lo:hi].tolist()))
+        assert len(boxes) == hi - lo
+        prev_hi = hi
+    assert prev_hi == s
+
+    np.testing.assert_array_equal(lay.off_y[lay.idx1], params.offset_y1)
+    np.testing.assert_array_equal(lay.off_x[lay.idx1], params.offset_x1)
+    np.testing.assert_array_equal(lay.off_y[lay.idx2], params.offset_y2)
+    np.testing.assert_array_equal(lay.off_x[lay.idx2], params.offset_x2)
+    np.testing.assert_array_equal(rad[lay.idx1], params.radii)
+    np.testing.assert_array_equal(rad[lay.idx2], params.radii)
