@@ -415,8 +415,14 @@ def sparse_bad(
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas and (b * k) % 8 == 0:
+        # Largest keypoint tile that divides K (grid-step overhead amortizes
+        # with tile: 0.279 -> 0.222 ms @K=512 going 8 -> 64 on v5e; dividing
+        # K keeps the per-image VMEM-residency grouping intact).
+        opts = (64, 32, 16, 8)
+        tile = next((t for t in opts if k % t == 0),
+                    next(t for t in opts if (b * k) % t == 0))
         samples = sparse_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
-                                    groups, bilinear=bilinear,
+                                    groups, bilinear=bilinear, tile=tile,
                                     integer_exact=integer_image)
     else:
         samples = reference_box_sample(xp, start_y, start_x, ly, lx, ps, r_max,
