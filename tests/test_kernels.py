@@ -61,6 +61,26 @@ def test_sparse_sampler_resident_image_swap_interpret():
     np.testing.assert_allclose(got, exp, atol=5e-3)
 
 
+def test_sparse_sampler_tile64_interpret():
+    """tile=64 (the adaptive default for K % 64 == 0) with per-image
+    residency and a multi-image batch must match the oracle."""
+    rng = np.random.default_rng(17)
+    b, k, s, ps, r = 2, 64, 48, 56, 7
+    h, w = 128, 192
+    img = rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+    imgp = np.pad(img, ((0, 0), (r, r), (r, r)), mode="edge")
+    sy = (rng.integers(0, (h - ps) // 8 + 1, (b, k)) * 8).astype(np.int32)
+    sx = rng.integers(0, w - ps, (b, k)).astype(np.int32)
+    ly = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    lx = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    groups = ((0, 0, 12), (3, 12, 30), (7, 30, 48))
+    args = (jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx),
+            jnp.asarray(ly), jnp.asarray(lx), ps, r, groups)
+    got = np.asarray(sparse_box_sample(*args, tile=64, interpret=True))
+    exp = np.asarray(reference_box_sample(*args))
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
 def test_sparse_sampler_windowed_path_interpret(sample_problem):
     """The windowed-DMA fallback (images beyond the VMEM residency budget)
     must match the oracle too. Forced by zeroing the budget; a fresh K makes
