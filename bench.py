@@ -25,7 +25,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PEAK_BF16_FLOPS = 1.97e14  # v5e
 
 
 def main(argv=None) -> None:
@@ -34,7 +33,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from benchmarks.timing import chain_time, device_trace_time, setup_cache
+    from benchmarks.timing import PEAK_BF16_FLOPS, chain_time, device_trace_time, setup_cache
 
     setup_cache()
     from onnx_image_processing_tpu import models

@@ -30,9 +30,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e peaks (public spec; jax-ml.github.io/scaling-book numbers).
-PEAK_BF16_FLOPS = 1.97e14
-PEAK_HBM_BYTES = 8.1e11
+from benchmarks.timing import PEAK_BF16_FLOPS, PEAK_HBM_BYTES  # noqa: E402
 
 
 def _setup_cache():

@@ -28,6 +28,10 @@ import time
 
 import numpy as np
 
+# TPU v5e peaks, shared by every MFU/HBM-utilization report.
+PEAK_BF16_FLOPS = 1.97e14
+PEAK_HBM_BYTES = 8.1e11
+
 
 def setup_cache():
     """Enable the persistent XLA compilation cache (shared by every benchmark

@@ -41,10 +41,10 @@ def _verify_roundtrip(path, name, height, width, overrides):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..models.registry import arg_specs
+    from ..models.registry import arg_specs, resolve_config
 
     spec = models.get(name)
-    resolved = spec.defaults.with_(**overrides)
+    resolved = resolve_config(spec, **overrides)
     rng = np.random.default_rng(0)
     args = []
     for s in arg_specs(spec, resolved, height, width):

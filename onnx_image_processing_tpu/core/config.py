@@ -133,12 +133,14 @@ class MatcherConfig:
     # perf one (see kernels/sparse_sampler.py).
     integer_image: bool = False
 
-    # Route the detect side (Shi-Tomasi score + orientation moments + NMS)
-    # through the fused Pallas front-end (kernels/detect_frontend.py). OFF by
-    # default: measured 0.134 ms vs 0.095 ms for XLA's own fusion of the
-    # separable stencils on v5e (and it blocks cross-stage overlap in the
-    # full graph, 1689 -> 1309 FPS) — kept as an opt-in so the negative
-    # result stays reproducible.
+    # Route the detect side through the hand-fused Pallas kernels: the
+    # Shi-Tomasi front-end (kernels/detect_frontend.py) and the AKAZE ladder
+    # (kernels/akaze_ladder.py). OFF by default: both measured SLOWER than
+    # XLA's own fusion of the separable stencils on v5e (front-end 0.134 vs
+    # 0.095 ms and it blocks cross-stage overlap, 1689 -> 1309 FPS; ladder
+    # 0.31 vs 0.26 ms) — kept as an opt-in so the negative results stay
+    # reproducible. Distinct from use_pallas, which selects the descriptor
+    # SAMPLER backend (where the kernel wins and TPU defaults to it).
     fused_detect: bool = False
 
     def with_(self, **kwargs) -> "MatcherConfig":

@@ -29,7 +29,11 @@ def akaze_detect_cfg(image: jax.Array, cfg: MatcherConfig):
         threshold=a.threshold, nms_size=a.nms_size,
         orientation_patch_size=a.orientation_patch_size,
         orientation_sigma=a.orientation_sigma,
-        use_pallas=cfg.use_pallas)
+        # The fused AKAZE ladder kernel is a measured-slower opt-in
+        # (docs/KERNELS.md); it rides the fused-detect flag, NOT
+        # cfg.use_pallas (which selects the descriptor SAMPLER backend and is
+        # set True on TPU where the sampler kernel wins).
+        use_pallas=cfg.fused_detect)
 
 
 def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,

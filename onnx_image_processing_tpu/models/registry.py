@@ -80,13 +80,22 @@ def get(name: str) -> PipelineSpec:
     return _REGISTRY[name]
 
 
+def resolve_config(spec: "PipelineSpec", cfg: MatcherConfig | None = None,
+                   **overrides) -> MatcherConfig:
+    """The ONE config-resolution rule: explicit cfg (else the spec defaults)
+    with flat overrides folded in. Shared by build/compile/export/verify so
+    traced functions and their arg_specs can never disagree."""
+    return ((cfg or spec.defaults).with_(**overrides)
+            if (cfg or overrides) else spec.defaults)
+
+
 def build(name: str, cfg: MatcherConfig | None = None, **overrides) -> Callable:
     """Bind a pipeline to a config and wrap in ``jax.jit``.
 
     Returns a jitted callable taking ``n_images`` (B, 1, H, W) arrays.
     """
     spec = get(name)
-    cfg = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) else spec.defaults
+    cfg = resolve_config(spec, cfg, **overrides)
 
     def fn(*images):
         return spec.fn(*images, cfg)
@@ -104,8 +113,7 @@ def compile_model(name: str, height: int, width: int, batch: int = 1,
     """
     spec = get(name)
     fn = build(name, cfg, **overrides)
-    resolved = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) \
-        else spec.defaults
+    resolved = resolve_config(spec, cfg, **overrides)
     return fn.lower(*arg_specs(spec, resolved, height, width, batch)).compile()
 
 

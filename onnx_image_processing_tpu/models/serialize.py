@@ -43,8 +43,7 @@ def export_model(name: str, height: int, width: int, batch: int = 1,
             cfg is None or cfg.use_pallas is None):
         overrides["use_pallas"] = platform == "tpu"
     fn = registry.build(name, cfg, **overrides)
-    resolved = (cfg or spec.defaults).with_(**overrides) if (cfg or overrides) \
-        else spec.defaults
+    resolved = registry.resolve_config(spec, cfg, **overrides)
     args = registry.arg_specs(spec, resolved, height, width, batch)
     platforms = (platform,) if platform is not None else None
     return jax.export.export(fn, platforms=platforms)(*args)

@@ -252,9 +252,10 @@ class SampleLayout(NamedTuple):
     off_x: np.ndarray
 
 
-@lru_cache(maxsize=None)
-def _sample_layout_cached(num_pairs: int) -> SampleLayout:
-    params = load_bad_params(num_pairs)
+_LAYOUT_CACHE: dict = {}
+
+
+def _build_sample_layout(params: BADParams) -> SampleLayout:
     p = params.num_pairs
     radii_np = np.asarray(params.radii)
     order = np.argsort(radii_np, kind="stable")
@@ -293,8 +294,20 @@ def _sample_layout_cached(num_pairs: int) -> SampleLayout:
 
 
 def sample_layout(params: BADParams) -> SampleLayout:
-    """Unique-box sample-axis layout for ``params`` (cached per table size)."""
-    return _sample_layout_cached(params.num_pairs)
+    """Unique-box sample-axis layout for ``params``.
+
+    Cached by the TABLE CONTENT (a digest of offsets + radii), not just
+    ``num_pairs``, so a custom/perturbed BADParams gets its own correct
+    geometry rather than the stock table's.
+    """
+    key = hash((params.num_pairs,) + tuple(
+        np.ascontiguousarray(a).tobytes() for a in
+        (params.offset_x1, params.offset_x2, params.offset_y1,
+         params.offset_y2, params.radii)))
+    lay = _LAYOUT_CACHE.get(key)
+    if lay is None:
+        lay = _LAYOUT_CACHE[key] = _build_sample_layout(params)
+    return lay
 
 
 def sparse_bad(

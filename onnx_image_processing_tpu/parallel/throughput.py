@@ -43,9 +43,12 @@ def stream_map(fn: Callable, inputs: Iterable, depth: int = 2) -> Iterator:
         raise ValueError(f"depth must be >= 1, got {depth}")
     pending: deque = deque()
     for x in inputs:
+        # Drain BEFORE dispatching so at most `depth` steps are ever in
+        # flight (dispatch-then-drain would hold depth+1, breaking the
+        # documented memory bound and making depth=1 overlap a step).
+        if len(pending) >= depth:
+            yield jax.device_get(pending.popleft())
         out = fn(*x) if isinstance(x, tuple) else fn(x)
         pending.append(out)
-        if len(pending) > depth:
-            yield jax.device_get(pending.popleft())
     while pending:
         yield jax.device_get(pending.popleft())

@@ -115,8 +115,9 @@ def test_stream_map_tuple_inputs_and_laziness():
 
     it = stream_map(f, gen(), depth=2)
     first = next(it)
-    # depth=2 window: the first yield happens once depth+1 inputs have been
-    # consumed (the yielded one + `depth` in flight) — the stream is lazy.
+    # depth=2 window: at most `depth` steps are ever in flight, so the first
+    # yield drains step 0 right before dispatching step 2 — the stream is
+    # lazy and the documented memory bound holds exactly.
     assert produced == [0, 1, 2]
     assert float(first) == 0.0
     rest = list(it)
