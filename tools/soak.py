@@ -1,0 +1,140 @@
+"""Randomized robustness soak: fuzz pipeline configs and shapes vs the oracle.
+
+Runs the flagship matcher (and the unoriented variant) across randomized
+configurations — image sizes (including non-multiples of every alignment in
+the stack), keypoint budgets, descriptor widths, sampling modes, binarize
+modes — comparing the Pallas interpret path against the jnp oracle path on
+every draw, plus internal invariants (keypoint validity contract, descriptor
+norms, Sinkhorn marginals). Complements the deterministic pytest suite
+(which pins seeds) with breadth; run manually or in a cron:
+
+    python tools/soak.py --iters 25 --seed 0
+
+Exit code 0 = all draws passed. Any failure prints the full draw config so
+it can be turned into a pinned regression test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def _one_draw(rng: np.random.Generator, idx: int) -> dict:
+    h = int(rng.integers(70, 300))
+    w = int(rng.integers(90, 400))
+    return {
+        "idx": idx,
+        "h": h,
+        "w": w,
+        "max_keypoints": int(rng.choice([16, 24, 40, 64, 96])),
+        "num_pairs": int(rng.choice([256, 512])),
+        "sampling_mode": str(rng.choice(["nearest", "bilinear"])),
+        "binarize": bool(rng.integers(0, 2)),
+        "soft_binarize": bool(rng.integers(0, 2)),
+        "with_angle": bool(rng.integers(0, 2)),
+        "nms_radius": int(rng.choice([3, 5, 7])),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_draw(draw: dict) -> list[str]:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+    from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match,
+        shi_tomasi_sparse_bad_sinkhorn_match)
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    img1 = jnp.asarray(
+        rng.uniform(0, 255, (1, 1, draw["h"], draw["w"])).astype(np.float32))
+    img2 = jnp.asarray(np.roll(np.asarray(img1), 5, axis=3))
+
+    cfg = MatcherConfig(
+        max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
+        sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
+        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"])
+    match = (shi_tomasi_angle_sparse_bad_sinkhorn_match if draw["with_angle"]
+             else shi_tomasi_sparse_bad_sinkhorn_match)
+
+    # Oracle path (jnp sampler) vs Pallas interpret path.
+    k1_o, k2_o, p_o = match(img1, img2, cfg.with_(use_pallas=False))
+
+    orig = ss.sparse_box_sample
+
+    def interpreted(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    ss.sparse_box_sample = interpreted
+    try:
+        k1_p, k2_p, p_p = match(img1, img2, cfg.with_(use_pallas=True))
+    finally:
+        ss.sparse_box_sample = orig
+
+    k1_o, k2_o, p_o, k1_p, k2_p, p_p = (
+        np.asarray(v) for v in (k1_o, k2_o, p_o, k1_p, k2_p, p_p))
+
+    if not np.array_equal(k1_o, k1_p) or not np.array_equal(k2_o, k2_p):
+        errors.append("keypoints differ between oracle and Pallas paths")
+    tol = 5e-3 if not draw["binarize"] else (
+        5e-3 if draw["soft_binarize"] else 0.5)  # hard bits: allow rare flips
+    bad = np.abs(p_o - p_p) > tol
+    frac = bad.mean()
+    if frac > (0.0 if not draw["binarize"] or draw["soft_binarize"] else 1e-3):
+        if not (draw["binarize"] and not draw["soft_binarize"] and frac < 5e-3):
+            errors.append(f"P mismatch frac={frac:.2e} (tol {tol})")
+
+    # Invariants on the oracle output.
+    k = cfg.max_keypoints
+    for nm, kk in (("k1", k1_o), ("k2", k2_o)):
+        invalid = kk[0, :, 0] < 0
+        if not np.array_equal(kk[0, invalid], np.full((invalid.sum(), 2), -1.0)):
+            errors.append(f"{nm}: invalid slots not (-1,-1)")
+        valid = kk[0, ~invalid]
+        if valid.size and ((valid[:, 0] > draw["h"] - 1).any()
+                           or (valid[:, 1] > draw["w"] - 1).any()):
+            errors.append(f"{nm}: keypoints out of bounds")
+    rows = p_o[0].sum(axis=1)
+    if not np.all(np.isfinite(p_o)):
+        errors.append("P contains non-finite values")
+    # Sinkhorn rows (excluding dustbin row) sum to ~1 after 20 iterations.
+    if np.abs(rows[:-1] - 1.0).max() > 0.15:
+        errors.append(f"Sinkhorn row marginals off: {np.abs(rows[:-1]-1).max():.3f}")
+    return errors
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--iters", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    failures = 0
+    for i in range(args.iters):
+        draw = _one_draw(rng, i)
+        errs = _run_draw(draw)
+        status = "ok" if not errs else "FAIL"
+        print(f"[{status}] draw {i}: {draw}")
+        for e in errs:
+            print(f"       {e}")
+        failures += bool(errs)
+    print(f"{args.iters - failures}/{args.iters} draws passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
