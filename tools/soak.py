@@ -116,19 +116,102 @@ def _run_draw(draw: dict) -> list[str]:
     return errors
 
 
+def _run_reference_draw(draw: dict) -> list[str]:
+    """Diff a random-config draw against the reference PyTorch pipeline
+    (the strongest oracle): exact keypoint-SET equality (flat top-k mode
+    matches torch.topk's set semantics) and the Sinkhorn matrix compared
+    through the per-side keypoint index mapping, permutation-invariantly."""
+    ref_path = os.environ.get("REFERENCE_PATH", "/root/reference")
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn import (  # noqa: E501
+        ShiTomasiAngleSparseBADSinkhornMatcher)
+    from pytorch_model.feature_detection.shi_tomasi_sparse_bad_sinkhorn import (
+        ShiTomasiSparseBADSinkhornMatcher)
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match,
+        shi_tomasi_sparse_bad_sinkhorn_match)
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    epsilon = float(rng.choice([0.05, 1.0]))
+    distance = str(rng.choice(["l2", "l1"]))
+    img1 = rng.uniform(0, 255, (1, 1, draw["h"], draw["w"])).astype(np.float32)
+    img2 = np.roll(img1, 5, axis=3)
+
+    kwargs = dict(
+        max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
+        sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
+        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"],
+        epsilon=epsilon, distance_type=distance)
+    ref_cls = (ShiTomasiAngleSparseBADSinkhornMatcher if draw["with_angle"]
+               else ShiTomasiSparseBADSinkhornMatcher)
+    ref = ref_cls(**kwargs)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = (t.numpy() for t in ref(
+            torch.from_numpy(img1), torch.from_numpy(img2)))
+
+    # Base on the REGISTRY defaults for the pipeline (they encode the
+    # reference class defaults, e.g. the flagship's block_size=5 vs the
+    # unoriented matcher's 3), then pin the drawn fields on both sides.
+    reg_name = ("shi_tomasi_angle_sparse_bad_sinkhorn" if draw["with_angle"]
+                else "shi_tomasi_sparse_bad_sinkhorn")
+    cfg = models.get(reg_name).defaults.with_(topk_mode="sort", **kwargs)
+    match = (shi_tomasi_angle_sparse_bad_sinkhorn_match if draw["with_angle"]
+             else shi_tomasi_sparse_bad_sinkhorn_match)
+    k1, k2, p = (np.asarray(v) for v in match(
+        jnp.asarray(img1), jnp.asarray(img2), cfg))
+
+    def mapping(ours, theirs, nm):
+        s_o = {tuple(v) for v in ours[0].tolist()}
+        s_e = {tuple(v) for v in theirs[0].tolist()}
+        if s_o != s_e:
+            errors.append(f"{nm}: keypoint sets differ "
+                          f"({len(s_o ^ s_e)} symmetric difference)")
+            return None
+        inv_e = {tuple(v): i for i, v in enumerate(theirs[0].tolist())}
+        return [inv_e[tuple(v)] for v in ours[0].tolist()]
+
+    m1 = mapping(k1, k1_e, "k1")
+    m2 = mapping(k2, k2_e, "k2")
+    if m1 is not None and m2 is not None:
+        kk = draw["max_keypoints"]
+        idx1 = np.array(m1 + [kk])   # dustbin maps to itself
+        idx2 = np.array(m2 + [kk])
+        p_e_perm = p_e[0][np.ix_(idx1, idx2)]
+        diff = np.abs(p[0] - p_e_perm)
+        tol = 5e-2 if draw["binarize"] and not draw["soft_binarize"] else 2e-2
+        frac_bad = (diff > tol).mean()
+        if frac_bad > 2e-3:
+            errors.append(
+                f"P mismatch: max={diff.max():.3f} frac>{tol}={frac_bad:.2e}")
+    return errors
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--iters", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reference", action="store_true",
+                    help="diff each draw against the reference PyTorch "
+                         "pipeline instead of the internal oracle")
     args = ap.parse_args(argv)
 
+    run = _run_reference_draw if args.reference else _run_draw
     rng = np.random.default_rng(args.seed)
     failures = 0
     for i in range(args.iters):
         draw = _one_draw(rng, i)
-        errs = _run_draw(draw)
+        errs = run(draw)
         status = "ok" if not errs else "FAIL"
-        print(f"[{status}] draw {i}: {draw}")
+        print(f"[{status}] draw {i}: {draw}", flush=True)
         for e in errs:
             print(f"       {e}")
         failures += bool(errs)
