@@ -359,3 +359,58 @@ def test_flagship_odd_sizes(hw):
     valid = k1[0, :, 0] >= 0
     assert valid.any()
     assert (k1[0][valid, 0] < h).all() and (k1[0][valid, 1] < w).all()
+
+
+@requires_reference
+@pytest.mark.parametrize("kwargs,with_angle", [
+    # Pinned from tools/soak.py --reference draws: non-default nms radius +
+    # sharp epsilon + bilinear (the amplification-prone regime) ...
+    (dict(max_keypoints=24, num_pairs=256, sampling_mode="bilinear",
+          binarize=True, soft_binarize=True, nms_radius=7,
+          epsilon=0.05, distance_type="l2"), True),
+    # ... and hard-binarize L1 at a non-default radius.
+    (dict(max_keypoints=40, num_pairs=512, sampling_mode="nearest",
+          binarize=True, soft_binarize=False, nms_radius=5,
+          epsilon=1.0, distance_type="l1"), False),
+])
+def test_nondefault_config_parity(kwargs, with_angle):
+    """Config-space parity vs the reference at non-default hyperparameters
+    (pinned from randomized soak draws — tools/soak.py --reference)."""
+    import torch
+
+    if with_angle:
+        from pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn import (  # noqa: E501
+            ShiTomasiAngleSparseBADSinkhornMatcher as RefCls)
+        from onnx_image_processing_tpu.models.shi_tomasi_family import (
+            shi_tomasi_angle_sparse_bad_sinkhorn_match as match)
+        reg = "shi_tomasi_angle_sparse_bad_sinkhorn"
+    else:
+        from pytorch_model.feature_detection.shi_tomasi_sparse_bad_sinkhorn import (  # noqa: E501
+            ShiTomasiSparseBADSinkhornMatcher as RefCls)
+        from onnx_image_processing_tpu.models.shi_tomasi_family import (
+            shi_tomasi_sparse_bad_sinkhorn_match as match)
+        reg = "shi_tomasi_sparse_bad_sinkhorn"
+
+    rng = np.random.default_rng(99)
+    img1 = rng.uniform(0, 255, (1, 1, 160, 220)).astype(np.float32)
+    img2 = np.roll(img1, 5, axis=3)
+
+    ref = RefCls(**kwargs)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = (t.numpy() for t in ref(
+            _to_torch(img1), _to_torch(img2)))
+
+    cfg = models.get(reg).defaults.with_(topk_mode="sort", **kwargs)
+    k1, k2, p = (np.asarray(v) for v in match(jnp.asarray(img1),
+                                              jnp.asarray(img2), cfg))
+
+    assert _kpt_set(k1[0]) == _kpt_set(k1_e[0])
+    assert _kpt_set(k2[0]) == _kpt_set(k2_e[0])
+    inv1 = {tuple(v): i for i, v in enumerate(k1_e[0].tolist())}
+    inv2 = {tuple(v): i for i, v in enumerate(k2_e[0].tolist())}
+    k = kwargs["max_keypoints"]
+    m1 = np.array([inv1[tuple(v)] for v in k1[0].tolist()] + [k])
+    m2 = np.array([inv2[tuple(v)] for v in k2[0].tolist()] + [k])
+    diff = np.abs(p[0] - p_e[0][np.ix_(m1, m2)])
+    tol = 5e-2 if kwargs["binarize"] and not kwargs["soft_binarize"] else 2e-2
+    assert (diff > tol).mean() <= (5e-3 if kwargs["epsilon"] <= 0.05 else 2e-3)
