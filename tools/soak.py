@@ -44,6 +44,86 @@ def _one_draw(rng: np.random.Generator, idx: int) -> dict:
     }
 
 
+def _one_akaze_draw(rng: np.random.Generator, idx: int) -> dict:
+    return {
+        "idx": idx,
+        "h": int(rng.integers(90, 260)),
+        "w": int(rng.integers(120, 340)),
+        "max_keypoints": int(rng.choice([16, 24, 40, 64])),
+        "num_pairs": int(rng.choice([256, 512])),
+        "sampling_mode": str(rng.choice(["nearest", "bilinear"])),
+        "binarize": bool(rng.integers(0, 2)),
+        "soft_binarize": bool(rng.integers(0, 2)),
+        "nms_radius": int(rng.choice([3, 5])),
+        "num_scales": int(rng.choice([2, 3, 4])),
+        "diffusion_iterations": int(rng.choice([2, 3, 5])),
+        "kappa": float(rng.choice([0.02, 0.05, 0.1])),
+        "akaze_threshold": float(rng.choice([0.0005, 0.001, 0.002])),
+        "akaze_nms_size": int(rng.choice([3, 5])),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_akaze_reference_draw(draw: dict) -> list[str]:
+    """Diff a random AKAZE-pipeline config against the reference class —
+    covers the diffusion/Hessian/orientation hyperparameter space the
+    Shi-Tomasi draws don't touch."""
+    ref_path = os.environ.get("REFERENCE_PATH", "/root/reference")
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from pytorch_model.feature_detection.akaze_sparse_bad_sinkhorn import (
+        AKAZESparseBADSinkhornMatcher)
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.models.akaze_family import (
+        akaze_sparse_bad_sinkhorn_match)
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    epsilon = float(rng.choice([0.05, 1.0]))
+    img1 = rng.uniform(0, 255, (1, 1, draw["h"], draw["w"])).astype(np.float32)
+    img2 = np.roll(img1, 4, axis=3)
+
+    shared = dict(
+        max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
+        sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
+        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"],
+        epsilon=epsilon)
+    ref = AKAZESparseBADSinkhornMatcher(
+        num_scales=draw["num_scales"],
+        diffusion_iterations=draw["diffusion_iterations"],
+        kappa=draw["kappa"], threshold=draw["akaze_threshold"],
+        akaze_nms_size=draw["akaze_nms_size"], **shared)
+    with torch.no_grad():
+        k1_e, k2_e, p_e = (t.numpy() for t in ref(
+            torch.from_numpy(img1), torch.from_numpy(img2)))
+
+    cfg = models.get("akaze_sparse_bad_sinkhorn").defaults.with_(
+        topk_mode="sort",
+        akaze_num_scales=draw["num_scales"],
+        akaze_diffusion_iterations=draw["diffusion_iterations"],
+        akaze_kappa=draw["kappa"], akaze_threshold=draw["akaze_threshold"],
+        akaze_nms_size=draw["akaze_nms_size"], **shared)
+    k1, k2, p = (np.asarray(v) for v in akaze_sparse_bad_sinkhorn_match(
+        jnp.asarray(img1), jnp.asarray(img2), cfg))
+
+    s_o1 = {tuple(v) for v in k1[0].tolist()}
+    s_e1 = {tuple(v) for v in k1_e[0].tolist()}
+    s_o2 = {tuple(v) for v in k2[0].tolist()}
+    s_e2 = {tuple(v) for v in k2_e[0].tolist()}
+    # AKAZE scores pass through amax over scales + a threshold mask; allow a
+    # couple of rank-boundary/threshold-edge swaps from float noise.
+    if len(s_o1 ^ s_e1) > 4 or len(s_o2 ^ s_e2) > 4:
+        errors.append(f"keypoint sets differ ({len(s_o1 ^ s_e1)}, "
+                      f"{len(s_o2 ^ s_e2)} symmetric difference)")
+    return errors
+
+
 def _run_draw(draw: dict) -> list[str]:
     import jax
     import jax.numpy as jnp
@@ -208,13 +288,21 @@ def main(argv=None) -> int:
     ap.add_argument("--reference", action="store_true",
                     help="diff each draw against the reference PyTorch "
                          "pipeline instead of the internal oracle")
+    ap.add_argument("--akaze", action="store_true",
+                    help="fuzz the AKAZE pipeline's detector hyperparameter "
+                         "space against the reference (implies --reference)")
     args = ap.parse_args(argv)
 
-    run = _run_reference_draw if args.reference else _run_draw
+    if args.akaze:
+        run, one = _run_akaze_reference_draw, _one_akaze_draw
+    elif args.reference:
+        run, one = _run_reference_draw, _one_draw
+    else:
+        run, one = _run_draw, _one_draw
     rng = np.random.default_rng(args.seed)
     failures = 0
     for i in range(args.iters):
-        draw = _one_draw(rng, i)
+        draw = one(rng, i)
         errs = run(draw)
         status = "ok" if not errs else "FAIL"
         print(f"[{status}] draw {i}: {draw}", flush=True)
