@@ -281,6 +281,71 @@ def _run_reference_draw(draw: dict) -> list[str]:
     return errors
 
 
+def _one_essential_draw(rng: np.random.Generator, idx: int) -> dict:
+    return {
+        "idx": idx,
+        "n": int(rng.integers(24, 400)),
+        "m": int(rng.integers(24, 400)),
+        "fx": float(rng.uniform(8, 600)),
+        "cx": float(rng.uniform(8, 320)),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_essential_reference_draw(draw: dict) -> list[str]:
+    """Diff the grid essential-matrix estimator against the reference's
+    power-iteration solver on random probability matrices of random (even
+    rectangular/dynamic) shapes and random intrinsics."""
+    ref_path = os.environ.get("REFERENCE_PATH", "/root/reference")
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from pytorch_model.geometry.essential_matrix_estimator import (
+        EssentialMatrixEstimator)
+    from onnx_image_processing_tpu.geometry import estimate_essential_matrix
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    n, m = draw["n"], draw["m"]
+    k = np.array([[draw["fx"], 0, draw["cx"]],
+                  [0, draw["fx"], draw["cx"]], [0, 0, 1]], np.float32)
+    p = rng.random((n, m)).astype(np.float32)
+
+    ref = EssentialMatrixEstimator(torch.from_numpy(k), image_shape=(32, 32))
+    with torch.no_grad():
+        e_ref = ref(torch.from_numpy(p)).numpy()
+    k_inv = jnp.asarray(np.linalg.inv(k).astype(np.float32))
+    e = np.asarray(estimate_essential_matrix(
+        jnp.asarray(p), k_inv, image_shape=(32, 32), method="power"))
+
+    def sign_diff(a, b):
+        # E is only defined up to sign (the epipolar constraint is
+        # sign-invariant); power iteration's sign flips at near-ties.
+        return min(np.abs(a - b).max(), np.abs(a + b).max())
+
+    # 30 power iterations accumulate f32 order differences; ~1e-2 is the
+    # reproduction accuracy across implementations (the pinned tests hold
+    # 1e-3 on their fixtures; adversarial random P can be worse).
+    d = sign_diff(e, e_ref)
+    if d > 2e-2:
+        # Arbiter: the exact eigh minimizer. If the reference's power result
+        # differs this much from the EXACT solution too, its 30 iterations
+        # simply did not converge on this draw (a documented reference
+        # limitation, geometry/essential_matrix.py) — not a parity gap.
+        e_exact = np.asarray(estimate_essential_matrix(
+            jnp.asarray(p), k_inv, image_shape=(32, 32)))
+        if sign_diff(e_exact, e_ref) <= 2e-2:
+            errors.append(
+                f"E mismatch vs reference {d:.2e} while the reference agrees "
+                f"with the exact minimizer — our power path diverges")
+    return errors
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--iters", type=int, default=25)
@@ -291,10 +356,15 @@ def main(argv=None) -> int:
     ap.add_argument("--akaze", action="store_true",
                     help="fuzz the AKAZE pipeline's detector hyperparameter "
                          "space against the reference (implies --reference)")
+    ap.add_argument("--essential", action="store_true",
+                    help="fuzz the essential-matrix estimator (random P "
+                         "shapes + intrinsics) against the reference solver")
     args = ap.parse_args(argv)
 
     if args.akaze:
         run, one = _run_akaze_reference_draw, _one_akaze_draw
+    elif args.essential:
+        run, one = _run_essential_reference_draw, _one_essential_draw
     elif args.reference:
         run, one = _run_reference_draw, _one_draw
     else:
