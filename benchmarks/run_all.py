@@ -115,6 +115,60 @@ def bench_flagship():
     return _chain_time(step, (i1, i2))
 
 
+def bench_flagship_hires(h, w, n=30):
+    """Flagship matcher at 1280x720 / 1920x1080 (VERDICT r2 item 5; the
+    reference exports arbitrary --height/--width). 1080p engages the
+    windowed-DMA sampler fallback naturally (image > 4 MB VMEM budget)."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match)
+
+    cfg = models.get("shi_tomasi_angle_sparse_bad_sinkhorn").defaults.with_(
+        max_keypoints=512, num_pairs=512)
+    i1, i2 = _images(h, w)
+
+    def step(a, b):
+        _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(a, b, cfg)
+        eps = p[0, 0, 0] * 1e-12
+        return p[0, 0, 0], (a + eps, b + eps)
+
+    return _chain_time(step, (i1, i2), n=n)
+
+
+def bench_akaze_1024(with_essential):
+    """AKAZE matcher at the shipped CI config (1024 kpts,
+    `onnx_export/export.py:21-62`), with and without the in-graph E."""
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu import models
+
+    if with_essential:
+        from onnx_image_processing_tpu.models.essential_family import (
+            akaze_sparse_bad_sinkhorn_essential_match as fn)
+    else:
+        from onnx_image_processing_tpu.models.akaze_family import (
+            akaze_sparse_bad_sinkhorn_match as fn)
+
+    cfg = models.get("akaze_sparse_bad_sinkhorn").defaults.with_(
+        max_keypoints=1024, num_pairs=512)
+    i1, i2 = _images(480, 640)
+    k_inv = jnp.asarray(np.linalg.inv(
+        np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]], np.float32)))
+
+    if with_essential:
+        def step(a, b):
+            _, _, p, e = fn(a, b, k_inv, cfg)
+            eps = e[0, 0] * 1e-12
+            return e[0, 0], (a + eps, b + eps)
+    else:
+        def step(a, b):
+            _, _, p = fn(a, b, cfg)
+            eps = p[0, 0, 0] * 1e-12
+            return p[0, 0, 0], (a + eps, b + eps)
+
+    return _chain_time(step, (i1, i2), n=30)
+
+
 def bench_akaze_essential():
     """Config 5: AKAZE + SparseBAD + Sinkhorn + in-graph essential matrix."""
     import jax.numpy as jnp
@@ -145,10 +199,30 @@ CONFIGS = [
     ("5_akaze_essential_matcher_512kpt", bench_akaze_essential),
 ]
 
+# High-resolution + CI-shape rows (VERDICT r2 items 5 and 7); --extended.
+EXTENDED_CONFIGS = [
+    ("6_flagship_matcher_512kpt_720p", lambda: bench_flagship_hires(720, 1280)),
+    ("7_flagship_matcher_512kpt_1080p",
+     lambda: bench_flagship_hires(1080, 1920, n=20)),
+    ("8_akaze_matcher_1024kpt", lambda: bench_akaze_1024(False)),
+    ("9_akaze_essential_matcher_1024kpt", lambda: bench_akaze_1024(True)),
+]
 
-def main():
+
+def main(argv=None):
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else argv
+    from benchmarks.timing import setup_cache
+
+    setup_cache()
+    configs = list(CONFIGS)
+    if "--extended" in argv:
+        configs += EXTENDED_CONFIGS
+    if "--extended-only" in argv:
+        configs = list(EXTENDED_CONFIGS)
     results = {}
-    for name, fn in CONFIGS:
+    for name, fn in configs:
         try:
             ms = fn()
             results[name] = ms

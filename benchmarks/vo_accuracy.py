@@ -1,0 +1,315 @@
+"""App-level VO accuracy: ATE/RPE vs ground truth, ours vs the reference.
+
+VERDICT round-2 item 4: component parity doesn't prove application-level
+parity. This benchmark renders a synthetic camera flight through a 3-D
+point-sprite scene with known per-frame (R, t), runs
+
+* **ours** — the flagship JAX matcher (+ in-graph mutual-NN extraction) with
+  the production pose path (`vo.estimate_pose_ransac`, cv2 RANSAC), and
+* **reference** — the reference PyTorch matcher
+  (`pytorch_model/feature_detection/shi_tomasi_angle_sparse_bad_sinkhorn.py`)
+  with the reference pose path (`pytorch_model/vo/pose_estimation.py`),
+
+both through the same host mutual-NN extraction (ours; differential-tested
+against `sample/image_matching.py:49-118`), on IDENTICAL frames, and reports:
+
+* **ATE** — RMSE of camera positions after Sim(3) (Umeyama) alignment
+  (monocular scale is unobservable),
+* **RPE** — per-step rotation error (deg) and translation-direction error
+  (deg) vs ground truth.
+
+Usage: python benchmarks/vo_accuracy.py [--frames 60] [--size 240 320]
+       [--skip-reference] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_PATH = os.environ.get("REFERENCE_PATH", "/root/reference")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic scene with exact ground truth
+# ---------------------------------------------------------------------------
+
+def make_scene(n_points=1800, seed=0):
+    """Random 3-D point sprites in a slab in front of the trajectory.
+
+    Non-planar by construction (depth spread 4..14) so the essential-matrix
+    geometry is well-posed for RANSAC (a plane would be a degenerate config).
+    """
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-14.0, 14.0, n_points),
+        rng.uniform(-9.0, 9.0, n_points),
+        rng.uniform(4.0, 14.0, n_points),
+    ], axis=1)
+    intensity = rng.uniform(90.0, 255.0, n_points)
+    size = rng.uniform(0.8, 2.2, n_points)
+    return pts, intensity, size
+
+
+def gt_poses(n_frames, step=0.08):
+    """World-frame camera poses: forward dolly + lateral sine + gentle yaw.
+
+    Returns list of (R_wc (3,3), C (3,)) — camera rotation (world->cam) and
+    camera center — with constant-norm translation steps (so monocular
+    unit-scale poses accumulate a comparable path before alignment).
+    """
+    poses = []
+    for i in range(n_frames):
+        s = i * step
+        c = np.array([1.2 * np.sin(s * 0.9), 0.35 * np.sin(s * 1.7), s])
+        yaw = 0.10 * np.sin(s * 1.3)
+        pitch = 0.04 * np.sin(s * 0.7)
+        ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        rx = np.array([[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        poses.append((ry @ rx, c))
+    return poses
+
+
+def render_frame(pts, intensity, size, r_wc, c, k, h, w):
+    """Splat each visible point as a Gaussian blob; returns float32 (H, W)."""
+    xc = (r_wc @ (pts - c).T).T
+    vis = xc[:, 2] > 0.5
+    xc = xc[vis]
+    inten = intensity[vis]
+    sz = size[vis] / xc[:, 2] * k[0, 0] / 300.0 + 0.7
+    uv = (k @ xc.T).T
+    uv = uv[:, :2] / uv[:, 2:3]
+    img = np.zeros((h, w), np.float32)
+    rad = 3
+    inb = ((uv[:, 0] > -rad) & (uv[:, 0] < w + rad)
+           & (uv[:, 1] > -rad) & (uv[:, 1] < h + rad))
+    uv, inten, sz = uv[inb], inten[inb], sz[inb]
+    dy, dx = np.mgrid[-rad:rad + 1, -rad:rad + 1].astype(np.float32)
+    for (u, v), a, s in zip(uv, inten, sz):
+        iu, iv = int(np.floor(u)), int(np.floor(v))
+        fu, fv = u - iu, v - iv
+        patch = a * np.exp(-((dx - fu) ** 2 + (dy - fv) ** 2) / (2 * s * s))
+        y0, y1 = iv - rad, iv + rad + 1
+        x0, x1 = iu - rad, iu + rad + 1
+        sy0, sx0 = max(0, -y0), max(0, -x0)
+        sy1 = patch.shape[0] - max(0, y1 - h)
+        sx1 = patch.shape[1] - max(0, x1 - w)
+        if sy1 <= sy0 or sx1 <= sx0:
+            continue
+        img[max(0, y0):min(h, y1), max(0, x0):min(w, x1)] += \
+            patch[sy0:sy1, sx0:sx1]
+    return np.clip(img, 0, 255)
+
+
+def make_sequence(n_frames, h, w, seed=0):
+    pts, inten, size = make_scene(seed=seed)
+    poses = gt_poses(n_frames)
+    fx = 0.9 * w
+    k = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float64)
+    frames = [render_frame(pts, inten, size, r, c, k, h, w)
+              for r, c in poses]
+    return frames, poses, k
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def umeyama_align(est, gt):
+    """Sim(3) alignment est -> gt (monocular scale unobservable); returns
+    aligned estimate."""
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    xe, xg = est - mu_e, gt - mu_g
+    cov = xg.T @ xe / len(est)
+    u, d, vt = np.linalg.svd(cov)
+    s = np.eye(3)
+    if np.linalg.det(u @ vt) < 0:
+        s[2, 2] = -1
+    r = u @ s @ vt
+    var_e = (xe ** 2).sum() / len(est)
+    scale = np.trace(np.diag(d) @ s) / var_e if var_e > 1e-12 else 1.0
+    return (scale * (r @ est.T)).T + (mu_g - scale * (r @ mu_e))
+
+
+def ate_rmse(est_positions, gt_positions):
+    aligned = umeyama_align(np.asarray(est_positions, float),
+                            np.asarray(gt_positions, float))
+    return float(np.sqrt(((aligned - gt_positions) ** 2).sum(1).mean()))
+
+
+def relative_gt(poses, i, j):
+    """GT relative pose i->j in recoverPose convention (x_j = R x_i + t)."""
+    r_i, c_i = poses[i]
+    r_j, c_j = poses[j]
+    r_rel = r_j @ r_i.T
+    t_rel = r_j @ (c_i - c_j)
+    return r_rel, t_rel
+
+
+def rot_deg(r_a, r_b):
+    cosang = (np.trace(r_a.T @ r_b) - 1) / 2
+    return float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+
+
+def dir_deg(t_a, t_b):
+    na, nb = np.linalg.norm(t_a), np.linalg.norm(t_b)
+    if na < 1e-12 or nb < 1e-12:
+        return 0.0
+    cosang = float(np.dot(np.ravel(t_a), np.ravel(t_b)) / (na * nb))
+    return float(np.degrees(np.arccos(np.clip(abs(cosang), -1, 1))))
+
+
+# ---------------------------------------------------------------------------
+# The two VO stacks
+# ---------------------------------------------------------------------------
+
+def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
+                max_matches=256):
+    """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1."""
+    import jax
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.utils.host_postprocess import (
+        extract_matches)
+    from onnx_image_processing_tpu.vo import (CameraIntrinsics,
+                                              estimate_pose_ransac)
+
+    h, w = frames[0].shape
+    intr = CameraIntrinsics(k[0, 0], k[1, 1], k[0, 2], k[1, 2], w, h)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=max_keypoints)
+
+    rel = []
+    for i in range(len(frames) - 1):
+        a = jnp.asarray(frames[i][None, None])
+        b = jnp.asarray(frames[i + 1][None, None])
+        k1, k2, p = (np.asarray(o) for o in fn(a, b))
+        mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
+                                      max_matches=max_matches)
+        r, t, _ = estimate_pose_ransac(mk1, mk2, intr)
+        rel.append((r, t))
+    return rel
+
+
+def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
+                     max_matches=256):
+    """Reference torch matcher + (same) host extraction + reference pose path."""
+    import torch
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    from pytorch_model.feature_detection.shi_tomasi_angle_sparse_bad_sinkhorn import (  # noqa: E501
+        ShiTomasiAngleSparseBADSinkhornMatcher)
+    from pytorch_model.vo import CameraIntrinsics as RefIntrinsics
+    from pytorch_model.vo import estimate_pose_ransac as ref_pose
+
+    from onnx_image_processing_tpu.utils.host_postprocess import (
+        extract_matches)
+
+    h, w = frames[0].shape
+    intr = RefIntrinsics(k[0, 0], k[1, 1], k[0, 2], k[1, 2], w, h)
+    # Match our registry defaults (the reference export config): hard
+    # binarize, eps 0.05, nms radius 5.
+    matcher = ShiTomasiAngleSparseBADSinkhornMatcher(
+        max_keypoints=max_keypoints, num_pairs=512,
+        use_binarization=True, use_soft_binarization=False,
+        epsilon=0.05, nms_radius=5)
+    matcher.eval()
+
+    rel = []
+    with torch.no_grad():
+        for i in range(len(frames) - 1):
+            a = torch.from_numpy(frames[i][None, None].copy())
+            b = torch.from_numpy(frames[i + 1][None, None].copy())
+            k1, k2, p = (o.numpy() for o in matcher(a, b))
+            mk1, mk2, _ = extract_matches(p, k1, k2,
+                                          threshold=match_threshold,
+                                          max_matches=max_matches)
+            r, t, _ = ref_pose(mk1, mk2, intr)
+            rel.append((r, t))
+    return rel
+
+
+def evaluate(rel_poses, gt, label):
+    """Accumulate relative poses into a trajectory + compute ATE/RPE."""
+    from onnx_image_processing_tpu.vo import Trajectory
+
+    traj = Trajectory()
+    rot_errs, dir_errs, fails = [], [], 0
+    for i, (r, t) in enumerate(rel_poses):
+        if r is None:
+            fails += 1
+            traj.add_relative_pose(np.eye(3), np.zeros(3))
+            continue
+        r_gt, t_gt = relative_gt_for_step(i)
+        rot_errs.append(rot_deg(r, r_gt))
+        dir_errs.append(dir_deg(t, t_gt))
+        # recoverPose returns camera2<-camera1 (x2 = R x1 + t); the camera
+        # CENTER motion in the previous camera frame is -R^T t, and the
+        # orientation update is R^T — accumulate in world frame.
+        traj.add_relative_pose(np.asarray(r).T,
+                               -np.asarray(r).T @ np.reshape(t, (3, 1)))
+    est_pos = traj.get_positions_array()
+    ate = ate_rmse(est_pos, _GT_POSITIONS[:len(est_pos)])
+    rec = {
+        "vo": label,
+        "frames": len(rel_poses) + 1,
+        "pose_failures": fails,
+        "ate_rmse": round(ate, 4),
+        "rpe_rot_deg_mean": round(float(np.mean(rot_errs)), 4) if rot_errs else None,
+        "rpe_rot_deg_p95": round(float(np.percentile(rot_errs, 95)), 4) if rot_errs else None,
+        "rpe_tdir_deg_mean": round(float(np.mean(dir_errs)), 4) if dir_errs else None,
+        "rpe_tdir_deg_p95": round(float(np.percentile(dir_errs, 95)), 4) if dir_errs else None,
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+_GT_POSES = None
+_GT_POSITIONS = None
+
+
+def relative_gt_for_step(i):
+    return relative_gt(_GT_POSES, i, i + 1)
+
+
+def main(argv=None):
+    global _GT_POSES, _GT_POSITIONS
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", type=int, nargs=2, default=[240, 320],
+                    metavar=("H", "W"))
+    ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args(argv)
+
+    h, w = args.size
+    frames, poses, k = make_sequence(args.frames, h, w)
+    _GT_POSES = poses
+    _GT_POSITIONS = np.array([c for _, c in poses])
+
+    ours = run_vo_ours(frames, k, args.max_keypoints)
+    rec_ours = evaluate(ours, poses, "ours_jax")
+    if not args.skip_reference and os.path.isdir(
+            os.path.join(REFERENCE_PATH, "pytorch_model")):
+        ref = run_vo_reference(frames, k, args.max_keypoints)
+        rec_ref = evaluate(ref, poses, "reference_torch")
+        print(json.dumps({
+            "vo": "summary",
+            "ate_ratio_ours_over_ref":
+                round(rec_ours["ate_rmse"] / max(rec_ref["ate_rmse"], 1e-9), 3),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

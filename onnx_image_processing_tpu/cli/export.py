@@ -29,10 +29,63 @@ def parse_args(argv=None):
     p.add_argument("--max-keypoints", type=int, default=None)
     p.add_argument("--output-dir", "-o", default=None,
                    help="write <name>.<platform>.jaxexport artifacts here")
+    p.add_argument("--dynamic", action="store_true",
+                   help="shape-polymorphic artifacts (reference --dynamic-axes"
+                        " parity); only pipelines with symbolic-dim support, "
+                        "default model set narrows accordingly")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the artifact load-and-call round trip")
     add_platform_arg(p)
     return p.parse_args(argv)
+
+
+def _poly_test_args(name, overrides, height, width, scale=1):
+    """Concrete inputs for verifying a polymorphic artifact at one shape."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.registry import resolve_config
+
+    spec = models.get(name)
+    resolved = resolve_config(spec, **overrides)
+    rng = np.random.default_rng(scale)
+    if name == "sinkhorn":
+        n, m, d = 64 * scale, 48 * scale, 128
+        return (jnp.asarray(rng.normal(size=(1, n, d)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(1, m, d)).astype(np.float32)))
+    if name == "essential_matrix_estimator":
+        from ..models.registry import _essential_grid_side
+
+        g = _essential_grid_side(resolved) ** 2
+        n, m = min(60 * scale, g), min(80 * scale, g)
+        k_inv = np.linalg.inv(np.array(
+            [[500., 0, width / 2], [0, 500., height / 2], [0, 0, 1]],
+            np.float32)).astype(np.float32)
+        return (jnp.asarray(rng.uniform(0, 1, (n + 1, m + 1)).astype(np.float32)),
+                jnp.asarray(k_inv))
+    if name == "voxel_downsampling":
+        return (jnp.asarray(rng.uniform(0, 2, (1000 * scale, 3)).astype(np.float32)),
+                jnp.asarray(np.float32(0.05)))
+    # image heads: vary the resolution itself
+    h, w = 48 * scale + 32, 64 * scale + 32
+    return (jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32)),)
+
+
+def _verify_poly_roundtrip(path, name, height, width, overrides):
+    """Reload a polymorphic artifact and check it matches the live pipeline at
+    TWO different concrete shapes (the point of the symbolic trace)."""
+    import numpy as np
+
+    live = models.build(name, **overrides)
+    loaded = models.load_exported(path)
+    for scale in (1, 3):
+        args = _poly_test_args(name, overrides, height, width, scale)
+        a_out = live(*args)
+        b_out = loaded(*args)
+        a_out = a_out if isinstance(a_out, tuple) else (a_out,)
+        b_out = b_out if isinstance(b_out, (tuple, list)) else (b_out,)
+        for a, b in zip(a_out, b_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def _verify_roundtrip(path, name, height, width, overrides):
@@ -72,7 +125,10 @@ def main(argv=None):
 
     platform = (args.platform if args.platform != "auto"
                 else jax.default_backend())
-    names = args.models or models.names()
+    if args.dynamic:
+        names = args.models or sorted(models.POLYMORPHIC_EXPORTS)
+    else:
+        names = args.models or models.names()
     failures = []
     for name in names:
         overrides = {}
@@ -80,7 +136,22 @@ def main(argv=None):
             overrides["max_keypoints"] = args.max_keypoints
         t0 = time.perf_counter()
         try:
-            if args.output_dir:
+            if args.dynamic:
+                exported = models.export_model_polymorphic(
+                    name, platform=platform, **overrides)
+                out_dir = args.output_dir or "."
+                path = models.save_exported(
+                    exported, models.artifact_path(out_dir, name, platform,
+                                                   polymorphic=True))
+                if not args.no_verify:
+                    _verify_poly_roundtrip(path, name, args.height, args.width,
+                                           overrides)
+                dt = time.perf_counter() - t0
+                line = (f"[OK]   {name}: dynamic export in {dt:.1f}s -> "
+                        f"{os.path.basename(path)} "
+                        f"({os.path.getsize(path) / 1e6:.2f} MB"
+                        f"{', verified @2 shapes' if not args.no_verify else ''})")
+            elif args.output_dir:
                 # The export IS the compile check (it traces and lowers the
                 # same graph); don't also build a throwaway AOT executable.
                 exported = models.export_model(

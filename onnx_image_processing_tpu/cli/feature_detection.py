@@ -14,7 +14,8 @@ import numpy as np
 
 from .. import models
 from ..utils import select_keypoints, visualize_keypoints
-from .common import add_platform_arg, benchmark, load_image, select_platform
+from .common import (add_platform_arg, add_timing_arg, load_image,
+                     run_benchmark, select_platform)
 
 
 def parse_args(argv=None):
@@ -38,6 +39,7 @@ def parse_args(argv=None):
                    help="color keypoints by score (blue=low, red=high)")
     p.add_argument("--benchmark", action="store_true",
                    help="print warmup+timed ms/frame")
+    add_timing_arg(p)
     # Detector hyperparameters (reference export flags: `export_fast.py:44-60`,
     # `export_dog.py:46-70`, `export_akaze.py:50-86`). None = registry default.
     g = p.add_argument_group("detector hyperparameters")
@@ -79,8 +81,7 @@ def main(argv=None):
     scores = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
 
     if args.benchmark:
-        ms = benchmark(fn, (jnp.asarray(arr),))
-        print(f"Elapsed: {ms:.3f} ms/frame ({1e3 / ms:.1f} fps)")
+        run_benchmark(fn, (jnp.asarray(arr),), args.timing)
 
     kpts = select_keypoints(scores, threshold=args.threshold,
                             max_keypoints=args.max_keypoints,

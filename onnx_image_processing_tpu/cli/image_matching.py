@@ -13,7 +13,8 @@ import numpy as np
 
 from .. import models
 from ..utils import extract_matches, visualize_matches
-from .common import add_platform_arg, benchmark, load_image, select_platform
+from .common import (add_platform_arg, add_timing_arg, load_image,
+                     run_benchmark, select_platform)
 
 
 def parse_args(argv=None):
@@ -30,6 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--match-threshold", "-t", type=float, default=0.1)
     p.add_argument("--max-matches", type=int, default=100)
     p.add_argument("--no-benchmark", action="store_true")
+    add_timing_arg(p)
     p.add_argument("--colorize", action="store_true",
                    help="color match lines by confidence (blue=low, red=high)")
     add_platform_arg(p)
@@ -54,8 +56,7 @@ def main(argv=None):
     k1, k2, p = (np.asarray(o) for o in out[:3])
 
     if not args.no_benchmark:
-        ms = benchmark(fn, (i1, i2))
-        print(f"Elapsed: {ms:.3f} ms/frame ({1e3 / ms:.1f} fps)")
+        run_benchmark(fn, (i1, i2), args.timing)
 
     mk1, mk2, scores = extract_matches(p[None] if p.ndim == 2 else p,
                                        k1, k2, threshold=args.match_threshold,

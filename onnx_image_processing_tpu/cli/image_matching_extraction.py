@@ -13,7 +13,8 @@ import numpy as np
 
 from .. import models
 from ..utils import visualize_matches
-from .common import add_platform_arg, benchmark, load_image, select_platform
+from .common import (add_platform_arg, add_timing_arg, load_image,
+                     run_benchmark, select_platform)
 
 
 def parse_args(argv=None):
@@ -31,6 +32,7 @@ def parse_args(argv=None):
                    help="override pipeline max matches")
     p.add_argument("--match-threshold", "-t", type=float, default=None)
     p.add_argument("--no-benchmark", action="store_true")
+    add_timing_arg(p)
     p.add_argument("--colorize", action="store_true",
                    help="color match lines by confidence (blue=low, red=high)")
     add_platform_arg(p)
@@ -56,8 +58,7 @@ def main(argv=None):
     mk1, mk2, scores, valid = (np.asarray(o) for o in fn(i1, i2)[:4])
 
     if not args.no_benchmark:
-        ms = benchmark(fn, (i1, i2))
-        print(f"Elapsed: {ms:.3f} ms/frame ({1e3 / ms:.1f} fps)")
+        run_benchmark(fn, (i1, i2), args.timing)
 
     keep = valid[0]
     mk1, mk2, scores = mk1[0][keep], mk2[0][keep], scores[0][keep]

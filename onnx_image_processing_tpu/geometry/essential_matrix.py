@@ -101,6 +101,9 @@ def min_eigvec9(m: jax.Array, n_iter: int = 30, method: str = "eigh") -> jax.Arr
     if method == "eigh":
         _, vecs = jnp.linalg.eigh(m)
         return vecs[:, 0]
+    if method != "power":
+        raise ValueError(f"min_eigvec9: unknown method {method!r} "
+                         "(expected 'eigh', 'fast', or 'power')")
     lam = jnp.trace(m)
     m_s = lam * jnp.eye(9, dtype=m.dtype) - m
 
@@ -224,6 +227,9 @@ def project_onto_essential_manifold(e: jax.Array, n_iter: int = 10,
         s_avg = (s[0] + s[1]) / 2.0
         d = jnp.diag(jnp.stack([s_avg, s_avg, jnp.zeros((), e.dtype)]))
         return _mm(_mm(u, d), v.T)
+    if method != "power":
+        raise ValueError(f"project_onto_essential_manifold: unknown method "
+                         f"{method!r} (expected 'svd', 'exact3', or 'power')")
 
     b = _mm(e.T, e)
     lam = jnp.trace(b)
@@ -309,6 +315,13 @@ def bidirectional_topk_weights(p_core: jax.Array, top_k: int = 3,
     Parity: `essential_matrix_estimator.py:307-330` (the mask is identical to
     the reference's ``torch.topk`` thresholds; see ``_kth_largest``).
     """
+    # Static shapes make this a free trace-time check; it preserves the
+    # loud failure of the lax.top_k this replaced (a sweep past the axis
+    # length would silently saturate at -inf and keep every element).
+    if p_core.shape[0] < top_k or p_core.shape[1] < top_k:
+        raise ValueError(
+            f"bidirectional_topk_weights: P core shape {p_core.shape} has an "
+            f"axis shorter than top_k={top_k}")
     thresh_row = _kth_largest(p_core, top_k, axis=1)      # (N, 1)
     thresh_col = _kth_largest(p_core, top_k, axis=0)      # (1, M)
     mask = (p_core >= thresh_row) & (p_core >= thresh_col) & (p_core > prob_threshold)
@@ -405,8 +418,12 @@ def estimate_essential_matrix(
     n = p.shape[0] - 1
     m = p.shape[1] - 1
     h, w = image_shape
-    if h * w < max(n, m):
-        raise ValueError(f"grid {image_shape} too small for N={n}, M={m}")
+    # max(n, m) compares the two dims against each other, which is undecidable
+    # for unrelated symbolic dims (shape-polymorphic export); check each side.
+    if isinstance(n, int) and h * w < n:
+        raise ValueError(f"grid {image_shape} too small for N={n}")
+    if isinstance(m, int) and h * w < m:
+        raise ValueError(f"grid {image_shape} too small for M={m}")
 
     p_core = p[:n, :m].astype(jnp.float32)
     weights = bidirectional_topk_weights(p_core, top_k, prob_threshold)

@@ -290,7 +290,7 @@ def detect_frontend(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b * n_stripes,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((rows_total, cols_total), jnp.float32),

@@ -385,7 +385,7 @@ def sparse_box_sample(
         num_scalar_prefetch=2,
         grid=((b * k) // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tile, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, s), lambda i, *_: (i, 0),

@@ -20,7 +20,9 @@ from .essential_family import (
 from .extraction import with_match_extraction
 from .registry import PipelineSpec, register, names, get, build, compile_model
 from .serialize import (
+    POLYMORPHIC_EXPORTS,
     export_model,
+    export_model_polymorphic,
     export_to_dir,
     load_exported,
     save_exported,
@@ -47,7 +49,9 @@ __all__ = [
     "get",
     "build",
     "compile_model",
+    "POLYMORPHIC_EXPORTS",
     "export_model",
+    "export_model_polymorphic",
     "export_to_dir",
     "load_exported",
     "save_exported",

@@ -28,6 +28,92 @@ from . import registry
 _SUFFIX = ".jaxexport"
 
 
+# ---------------------------------------------------------------------------
+# Shape-polymorphic ("dynamic axes") input specs.
+#
+# The reference ships dynamic-shape .onnx artifacts for its tensor-input
+# standalones: the E estimator's dynamic N/M
+# (`onnx_export/export_essential_matrix_estimator.py:132-179`), voxel
+# downsampling's dynamic N (`export_voxel_downsampling.py:51-76`), and
+# --dynamic-axes on the matcher exports. The jax.export equivalent is a
+# symbolic-dimension trace: ONE .jaxexport file serves every shape satisfying
+# the scope constraints (each concrete shape still XLA-compiles once at load
+# time, like an ORT session specializing a dynamic graph).
+# ---------------------------------------------------------------------------
+
+def _sym_args_sinkhorn(cfg: MatcherConfig):
+    scope = jax.export.SymbolicScope(["n >= 1", "m >= 1"])
+    b, n, m, d = jax.export.symbolic_shape("b, n, m, d", scope=scope)
+    return (jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32))
+
+
+def _sym_args_essential(cfg: MatcherConfig):
+    from .registry import _essential_grid_side
+
+    g = _essential_grid_side(cfg) ** 2
+    # n/m >= 3: the bidirectional top-k needs top_k rows/cols;
+    # n/m <= grid cells: every feature index must map onto the pixel grid.
+    scope = jax.export.SymbolicScope(
+        [f"n >= 3", f"m >= 3", f"n <= {g}", f"m <= {g}"])
+    n, m = jax.export.symbolic_shape("n, m", scope=scope)
+    return (jax.ShapeDtypeStruct((n + 1, m + 1), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3), jnp.float32))
+
+
+def _sym_args_voxel(cfg: MatcherConfig):
+    scope = jax.export.SymbolicScope(["n >= 1"])
+    (n,) = jax.export.symbolic_shape("n", scope=scope)
+    return (jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32))
+
+
+def _sym_args_image_head(cfg: MatcherConfig):
+    """Symbolic (B, 1, H, W) for the dense single-image heads (score /
+    descriptor maps are pure stencils — no top-k or block reshapes, so the
+    trace is fully shape-polymorphic)."""
+    scope = jax.export.SymbolicScope(["h >= 32", "w >= 32"])
+    b, h, w = jax.export.symbolic_shape("b, h, w", scope=scope)
+    return (jax.ShapeDtypeStruct((b, 1, h, w), jnp.float32),)
+
+
+#: pipelines exportable with symbolic dimensions -> arg-spec builder
+POLYMORPHIC_EXPORTS = {
+    "sinkhorn": _sym_args_sinkhorn,
+    "essential_matrix_estimator": _sym_args_essential,
+    "voxel_downsampling": _sym_args_voxel,
+    "shi_tomasi": _sym_args_image_head,
+    "fast": _sym_args_image_head,
+    "dog": _sym_args_image_head,
+    "dog_with_score": _sym_args_image_head,
+    "bad": _sym_args_image_head,
+}
+
+
+def export_model_polymorphic(name: str, cfg: MatcherConfig | None = None,
+                             platform: str | None = None,
+                             **overrides) -> jax.export.Exported:
+    """Lower a pipeline with symbolic input dimensions (dynamic-axes parity).
+
+    Only the pipelines in ``POLYMORPHIC_EXPORTS`` support this; composite
+    image matchers are intentionally static-shape (top-k keypoint counts and
+    block-reduction tilings are compile-time structure on TPU).
+    """
+    if name not in POLYMORPHIC_EXPORTS:
+        raise ValueError(
+            f"{name!r} has no shape-polymorphic export; available: "
+            f"{sorted(POLYMORPHIC_EXPORTS)}")
+    spec = registry.get(name)
+    if platform is not None and "use_pallas" not in overrides and (
+            cfg is None or cfg.use_pallas is None):
+        overrides["use_pallas"] = platform == "tpu"
+    fn = registry.build(name, cfg, **overrides)
+    resolved = registry.resolve_config(spec, cfg, **overrides)
+    args = POLYMORPHIC_EXPORTS[name](resolved)
+    platforms = (platform,) if platform is not None else None
+    return jax.export.export(fn, platforms=platforms)(*args)
+
+
 def export_model(name: str, height: int, width: int, batch: int = 1,
                  cfg: MatcherConfig | None = None,
                  platform: str | None = None,
@@ -49,8 +135,10 @@ def export_model(name: str, height: int, width: int, batch: int = 1,
     return jax.export.export(fn, platforms=platforms)(*args)
 
 
-def artifact_path(out_dir: str, name: str, platform: str) -> str:
-    return os.path.join(out_dir, f"{name}.{platform}{_SUFFIX}")
+def artifact_path(out_dir: str, name: str, platform: str,
+                  polymorphic: bool = False) -> str:
+    tag = ".poly" if polymorphic else ""
+    return os.path.join(out_dir, f"{name}{tag}.{platform}{_SUFFIX}")
 
 
 def save_exported(exported: jax.export.Exported, path: str) -> str:

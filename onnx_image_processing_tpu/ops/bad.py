@@ -300,10 +300,10 @@ def sample_layout(params: BADParams) -> SampleLayout:
     ``num_pairs``, so a custom/perturbed BADParams gets its own correct
     geometry rather than the stock table's.
     """
-    key = hash((params.num_pairs,) + tuple(
+    key = (params.num_pairs,) + tuple(
         np.ascontiguousarray(a).tobytes() for a in
         (params.offset_x1, params.offset_x2, params.offset_y1,
-         params.offset_y2, params.radii)))
+         params.offset_y2, params.radii))
     lay = _LAYOUT_CACHE.get(key)
     if lay is None:
         lay = _LAYOUT_CACHE[key] = _build_sample_layout(params)

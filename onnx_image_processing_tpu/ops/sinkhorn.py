@@ -46,7 +46,11 @@ def _l1_cost(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
     """
     b, n, d = desc1.shape
     m = desc2.shape[1]
-    if b * n * m * d <= _L1_DIRECT_ELEMS:
+    # Symbolic dims (shape-polymorphic export) can't be compared with the
+    # element budget at trace time; the chunking below also needs concrete
+    # sizes, so polymorphic traces take the direct form.
+    if (not all(isinstance(s, int) for s in (b, n, m, d))
+            or b * n * m * d <= _L1_DIRECT_ELEMS):
         diff = desc1[:, :, None, :] - desc2[:, None, :, :]
         return jnp.sum(jnp.abs(diff), axis=-1)
 
@@ -101,12 +105,16 @@ def sinkhorn_match(
     log_scores = jnp.pad(-cost / epsilon, ((0, 0), (0, 1), (0, 1)),
                          constant_values=-unused_score / epsilon)  # (B, N+1, M+1)
 
+    # jnp.asarray (not float()) so N/M may be symbolic dims under a
+    # shape-polymorphic jax.export trace (reference dynamic-axes parity).
+    log_m = jnp.log(jnp.asarray(m, jnp.float32))
+    log_n = jnp.log(jnp.asarray(n, jnp.float32))
     log_mu = jnp.concatenate(
         [jnp.zeros((b, n), jnp.float32),
-         jnp.full((b, 1), jnp.log(float(m)), jnp.float32)], axis=1)
+         jnp.full((b, 1), 1.0, jnp.float32) * log_m], axis=1)
     log_nu = jnp.concatenate(
         [jnp.zeros((b, m), jnp.float32),
-         jnp.full((b, 1), jnp.log(float(n)), jnp.float32)], axis=1)
+         jnp.full((b, 1), 1.0, jnp.float32) * log_n], axis=1)
 
     def body(_, uv):
         u, v = uv

@@ -9,11 +9,19 @@ reference's house idiom is "run both, compare max-abs-diff").
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# OIP_TPU_TESTS=1 selects the on-hardware tier (`pytest -m tpu`): jax keeps
+# its real default backend (the TPU) and the @pytest.mark.tpu tests run
+# compiled Mosaic kernels against CPU-computed oracles. Everything below that
+# pins CPU is skipped in that mode.
+TPU_TIER = os.environ.get("OIP_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    # Must be set before jax is imported anywhere.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,7 +30,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # suite runs on the virtual 8-device CPU mesh and never touches the TPU tunnel.
 import jax  # noqa: E402
 
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+if not TPU_TIER:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-hardware tier — compiled Pallas/Mosaic kernels vs CPU "
+        "oracles; needs a real TPU and OIP_TPU_TESTS=1 (run: "
+        "OIP_TPU_TESTS=1 pytest -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if TPU_TIER:
+        # On-hardware session: run ONLY the tpu tier (the CPU tier assumes the
+        # virtual 8-device mesh that this session doesn't set up).
+        skip = _pytest.mark.skip(reason="CPU-tier test (OIP_TPU_TESTS=1 set)")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = _pytest.mark.skip(
+            reason="TPU-hardware tier; run OIP_TPU_TESTS=1 pytest -m tpu")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 import numpy as np
 import pytest

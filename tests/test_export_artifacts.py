@@ -74,6 +74,63 @@ def test_export_cli_writes_and_verifies(tmp_path, capsys):
     assert files == ["fast.cpu.jaxexport", "shi_tomasi.cpu.jaxexport"]
 
 
+def _poly_args(name, cfg, scale, rng):
+    """Concrete inputs at one of several shapes for a polymorphic artifact."""
+    if name == "sinkhorn":
+        n, m, d = 16 * scale, 12 * scale, 64
+        return (jnp.asarray(rng.normal(size=(2, n, d)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(2, m, d)).astype(np.float32)))
+    if name == "essential_matrix_estimator":
+        from onnx_image_processing_tpu.models.registry import (
+            _essential_grid_side)
+
+        g = _essential_grid_side(cfg) ** 2
+        n, m = min(20 * scale, g), min(30 * scale, g - 5)
+        k_inv = np.linalg.inv(np.array(
+            [[100., 0, 4], [0, 100., 4], [0, 0, 1]], np.float32))
+        return (jnp.asarray(rng.uniform(0, 1, (n + 1, m + 1)).astype(np.float32)),
+                jnp.asarray(k_inv.astype(np.float32)))
+    if name == "voxel_downsampling":
+        return (jnp.asarray(rng.uniform(0, 2, (100 * scale, 3)).astype(np.float32)),
+                jnp.asarray(np.float32(0.1)))
+    # image heads
+    h, w = 32 + 16 * scale, 32 + 24 * scale
+    return (jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32)),)
+
+
+@pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",
+                                  "voxel_downsampling", "shi_tomasi", "bad"])
+def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
+    """One shape-polymorphic artifact must serve several concrete shapes
+    bit-exactly (reference dynamic-axes parity: the E estimator's dynamic N/M
+    `export_essential_matrix_estimator.py:132-179`, voxel downsampling's
+    dynamic N `export_voxel_downsampling.py:51-76`)."""
+    cfg = models.get(name).defaults.with_(max_keypoints=64, num_pairs=256)
+    exported = models.export_model_polymorphic(name, cfg=cfg, platform="cpu")
+    path = models.save_exported(
+        exported,
+        models.artifact_path(str(tmp_path), name, "cpu", polymorphic=True))
+    assert path.endswith(".poly.cpu.jaxexport") and os.path.getsize(path) > 0
+
+    loaded = models.load_exported(path)
+    live = models.build(name, cfg)
+    rng = np.random.default_rng(7)
+    for scale in (1, 2, 5):
+        args = _poly_args(name, cfg, scale, rng)
+        a_out = live(*args)
+        b_out = loaded(*args)
+        a_out = a_out if isinstance(a_out, tuple) else (a_out,)
+        b_out = b_out if isinstance(b_out, (tuple, list)) else (b_out,)
+        assert len(a_out) == len(b_out)
+        for a, b in zip(a_out, b_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_polymorphic_export_unsupported_name_raises():
+    with pytest.raises(ValueError, match="no shape-polymorphic export"):
+        models.export_model_polymorphic("shi_tomasi_angle_sparse_bad_sinkhorn")
+
+
 @pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",
                                   "voxel_downsampling", "bad"])
 def test_standalone_export_roundtrip(name, tmp_path):

@@ -1,0 +1,234 @@
+"""On-hardware test tier: compiled Mosaic kernels vs CPU oracles.
+
+Run on a machine with a real TPU:
+
+    OIP_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Every test here executes the COMPILED Pallas path (no interpret mode) — the
+thing the CPU tier cannot cover — against an oracle computed on the host CPU
+backend. This is the rig-side re-verification for libtpu/JAX version bumps
+(the round-1 MULTICHIP failure class); see docs/TESTING.md. Reference
+analogue: the house self-test idiom of
+`/root/reference/pytorch_model/geometry/essential_matrix_estimator.py:406-481`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _tpu_available():
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+if not _tpu_available():  # pragma: no cover - collection-time guard
+    pytest.skip("no TPU device present", allow_module_level=True)
+
+
+def _cpu():
+    return jax.devices("cpu")[0]
+
+
+def _production_problem(seed, b=2, k=512, s=210, ps=56, r=7, h=480, w=640):
+    """Flagship-scale sampler inputs (480x640, 512 kpts, BAD-like radii mix)."""
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (b, h, w)).astype(np.float32)
+    imgp = np.pad(img, ((0, 0), (r, r), (r, r)), mode="edge")
+    sy = (rng.integers(0, (h - ps) // 8 + 1, (b, k)) * 8).astype(np.int32)
+    sx = rng.integers(0, w - ps, (b, k)).astype(np.int32)
+    ly = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    lx = rng.uniform(0, ps - 1, (b, k, s)).astype(np.float32)
+    # Radii distribution shaped like the 512-pair BAD table's unique-box
+    # layout (groups ascending in radius, uneven sizes).
+    groups = ((0, 0, 30), (1, 30, 80), (2, 80, 140), (3, 140, 180),
+              (5, 180, 200), (7, 200, 210))
+    return imgp, sy, sx, ly, lx, ps, r, groups
+
+
+def _oracle(imgp, sy, sx, ly, lx, ps, r, groups, bilinear=False):
+    from onnx_image_processing_tpu.kernels.sparse_sampler import (
+        reference_box_sample)
+
+    with jax.default_device(_cpu()):
+        out = reference_box_sample(jnp.asarray(imgp), jnp.asarray(sy),
+                                   jnp.asarray(sx), jnp.asarray(ly),
+                                   jnp.asarray(lx), ps, r, groups,
+                                   bilinear=bilinear)
+        return np.asarray(out)
+
+
+@pytest.mark.parametrize("bilinear", [False, True])
+@pytest.mark.parametrize("tile", [8, 64])
+def test_compiled_sampler_resident(bilinear, tile):
+    """Compiled resident-image kernel at production shape vs the CPU oracle."""
+    from onnx_image_processing_tpu.kernels.sparse_sampler import (
+        sparse_box_sample)
+
+    imgp, sy, sx, ly, lx, ps, r, groups = _production_problem(101)
+    got = np.asarray(sparse_box_sample(
+        jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx), jnp.asarray(ly),
+        jnp.asarray(lx), ps, r, groups, bilinear=bilinear, tile=tile))
+    exp = _oracle(imgp, sy, sx, ly, lx, ps, r, groups, bilinear=bilinear)
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
+@pytest.mark.parametrize("bilinear", [False, True])
+def test_compiled_sampler_windowed(bilinear):
+    """The windowed-DMA fallback (image beyond the VMEM budget), compiled."""
+    import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+
+    imgp, sy, sx, ly, lx, ps, r, groups = _production_problem(
+        103, b=1, k=256)
+    old = ss._VMEM_RESIDENT_MAX_BYTES
+    ss._VMEM_RESIDENT_MAX_BYTES = 0
+    try:
+        got = np.asarray(ss.sparse_box_sample(
+            jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx),
+            jnp.asarray(ly), jnp.asarray(lx), ps, r, groups,
+            bilinear=bilinear))
+    finally:
+        ss._VMEM_RESIDENT_MAX_BYTES = old
+    exp = _oracle(imgp, sy, sx, ly, lx, ps, r, groups, bilinear=bilinear)
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
+def test_compiled_sampler_windowed_1080p():
+    """1920x1080 exceeds the 4 MB residency budget NATURALLY — the windowed
+    path engages on real deployment shapes, not just via the forced budget."""
+    import onnx_image_processing_tpu.kernels.sparse_sampler as ss
+
+    imgp, sy, sx, ly, lx, ps, r, groups = _production_problem(
+        107, b=1, k=256, h=1080, w=1920)
+    assert (1080 + 2 * 7) * (1920 + 2 * 7) * 4 > ss._VMEM_RESIDENT_MAX_BYTES
+    got = np.asarray(ss.sparse_box_sample(
+        jnp.asarray(imgp), jnp.asarray(sy), jnp.asarray(sx), jnp.asarray(ly),
+        jnp.asarray(lx), ps, r, groups))
+    exp = _oracle(imgp, sy, sx, ly, lx, ps, r, groups)
+    np.testing.assert_allclose(got, exp, atol=5e-3)
+
+
+def test_compiled_integer_exact_sparse_bad():
+    """integer_image=True: compiled int8-digit contraction vs CPU jnp path."""
+    from onnx_image_processing_tpu.ops import load_bad_params, sparse_bad
+
+    rng = np.random.default_rng(113)
+    h, w, k = 480, 640, 512
+    img = rng.integers(0, 256, (1, 1, h, w)).astype(np.float32)
+    kp = np.stack([rng.uniform(8, h - 8, (1, k)),
+                   rng.uniform(8, w - 8, (1, k))], -1).astype(np.float32)
+    theta = rng.uniform(-3, 3, (1, 1, h, w)).astype(np.float32)
+    params = load_bad_params(512)
+
+    got = np.asarray(sparse_bad(
+        jnp.asarray(img), jnp.asarray(kp), params,
+        orientation=jnp.asarray(theta), use_pallas=True, integer_image=True,
+        normalize_descriptors=False))
+    with jax.default_device(_cpu()):
+        want = np.asarray(sparse_bad(
+            jnp.asarray(img), jnp.asarray(kp), params,
+            orientation=jnp.asarray(theta), use_pallas=False,
+            normalize_descriptors=False))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_compiled_sparse_bad_oriented_vs_cpu():
+    """Production config: compiled Pallas sparse BAD (oriented, nearest) vs
+    the CPU jnp path at flagship shape."""
+    from onnx_image_processing_tpu.ops import load_bad_params, sparse_bad
+
+    rng = np.random.default_rng(117)
+    h, w, k = 480, 640, 512
+    img = rng.uniform(0, 255, (2, 1, h, w)).astype(np.float32)
+    kp = np.stack([rng.uniform(8, h - 8, (2, k)),
+                   rng.uniform(8, w - 8, (2, k))], -1).astype(np.float32)
+    theta = rng.uniform(-3, 3, (2, 1, h, w)).astype(np.float32)
+    params = load_bad_params(512)
+
+    kwargs = dict(orientation=jnp.asarray(theta), binarize=True,
+                  soft_binarize=False, normalize_descriptors=True)
+    got = np.asarray(sparse_bad(jnp.asarray(img), jnp.asarray(kp), params,
+                                use_pallas=True, **kwargs))
+    with jax.default_device(_cpu()):
+        want = np.asarray(sparse_bad(jnp.asarray(img), jnp.asarray(kp),
+                                     params, use_pallas=False, **kwargs))
+    # Hard-binarized bits flip only at razor-thin threshold ties.
+    assert (got != want).mean() < 1e-3
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_compiled_detect_frontend_matches_xla():
+    """Fused detect front-end kernel vs the XLA ops composition, both compiled
+    on the TPU (docs/KERNELS.md claims hardware bit-identity — verify it)."""
+    from onnx_image_processing_tpu.kernels.detect_frontend import (
+        detect_frontend, detect_frontend_reference)
+
+    rng = np.random.default_rng(31)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 1, 480, 640)).astype(np.float32))
+    got = detect_frontend(img)
+    exp = detect_frontend_reference(img)
+    for g, e, name in zip(got, exp, ("masked", "m10", "m01")):
+        g, e = np.asarray(g), np.asarray(e)
+        scale = max(1.0, float(np.abs(e).max()))
+        np.testing.assert_allclose(g / scale, e / scale, atol=1e-5,
+                                   err_msg=name)
+    assert ((np.asarray(got[0]) > 0) != (np.asarray(exp[0]) > 0)).mean() < 1e-5
+
+
+def test_compiled_akaze_ladder_matches_xla():
+    """Fused AKAZE ladder kernel vs the jnp reference, compiled on the TPU."""
+    from onnx_image_processing_tpu.kernels.akaze_ladder import akaze_ladder
+    from onnx_image_processing_tpu.ops.akaze import akaze_ladder_reference
+
+    rng = np.random.default_rng(23)
+    img = rng.uniform(0, 255, (2, 480, 640)).astype(np.float32)
+    s_k, m10_k, m01_k = (np.asarray(o) for o in akaze_ladder(jnp.asarray(img)))
+    s_r, m10_r, m01_r = (np.asarray(o) for o in
+                         akaze_ladder_reference(jnp.asarray(img)[:, None]))
+    np.testing.assert_allclose(s_k, s_r, atol=1e-3)
+    np.testing.assert_allclose(m10_k, m10_r, atol=5e-3)
+    np.testing.assert_allclose(m01_k, m01_r, atol=5e-3)
+    assert ((s_k > 0) != (s_r > 0)).mean() < 1e-4
+
+
+def test_flagship_tpu_matches_cpu_permutation_invariant():
+    """Full flagship matcher: TPU (compiled Pallas sampler) vs CPU (jnp path),
+    compared through the permutation-invariant keypoint mapping."""
+    from test_pipelines import _align_probs, _kpt_set
+
+    from onnx_image_processing_tpu import models
+
+    rng = np.random.default_rng(41)
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img1 = np.clip(base + rng.normal(0, 3, (h, w)), 0, 255).astype(
+        np.float32)[None, None]
+    img2 = np.clip(np.roll(base, 7, 1) + rng.normal(0, 3, (h, w)), 0,
+                   255).astype(np.float32)[None, None]
+
+    cfg_kw = dict(max_keypoints=512)
+    fn_tpu = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                          use_pallas=True, **cfg_kw)
+    k1_t, k2_t, p_t = (np.asarray(o) for o in
+                       fn_tpu(jnp.asarray(img1), jnp.asarray(img2)))
+    with jax.default_device(_cpu()):
+        fn_cpu = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                              use_pallas=False, **cfg_kw)
+        k1_c, k2_c, p_c = (np.asarray(o) for o in
+                           fn_cpu(jnp.asarray(img1), jnp.asarray(img2)))
+
+    # Keypoint sets must agree except at razor-thin rank-boundary ties.
+    assert len(_kpt_set(k1_t[0]) ^ _kpt_set(k1_c[0])) <= 2
+    assert len(_kpt_set(k2_t[0]) ^ _kpt_set(k2_c[0])) <= 2
+    if _kpt_set(k1_t[0]) == _kpt_set(k1_c[0]) and \
+            _kpt_set(k2_t[0]) == _kpt_set(k2_c[0]):
+        p_aligned, _, _ = _align_probs(p_t[0], k1_t[0], k2_t[0],
+                                       k1_c[0], k2_c[0])
+        np.testing.assert_allclose(p_aligned, p_c[0], atol=5e-3)

@@ -196,6 +196,123 @@ def _run_draw(draw: dict) -> list[str]:
     return errors
 
 
+def _one_ties_draw(rng: np.random.Generator, idx: int) -> dict:
+    # Tiled textures create EXACT score ties at the tile period. Block-vs-sort
+    # divergence needs ties WITHIN one (r+1)^2 block, i.e. tie distance <=
+    # nms_radius (NMS already forces same-window survivors to tie) — so half
+    # the draws use MICRO tiles with period <= nms_radius, the adversarial
+    # case; the rest use macro tiles + quantization (cross-block ties, which
+    # both modes must keep identically).
+    nms_radius = int(rng.choice([3, 5]))
+    micro = bool(rng.integers(0, 2))
+    lo, hi = (2, nms_radius + 2) if micro else (24, 60)
+    return {
+        "idx": idx,
+        "tile_h": int(rng.integers(lo, hi)),
+        "tile_w": int(rng.integers(lo, hi)),
+        "reps_y": int(rng.integers(2, 5)) * (12 if micro else 1),
+        "reps_x": int(rng.integers(2, 6)) * (12 if micro else 1),
+        "quant_levels": int(rng.choice([4, 8, 16, 256])),
+        "max_keypoints": int(rng.choice([32, 64, 128])),
+        "nms_radius": nms_radius,
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_ties_draw(draw: dict) -> list[str]:
+    """Characterize the block-topk tie divergence (VERDICT r2 item 8).
+
+    The shipping default ``topk_mode="block"`` keeps ONE representative of a
+    same-block score tie where the reference's flat sort keeps every tied
+    copy (`ops/keypoints.py:51-67`). This mode drives adversarial tied inputs
+    (tiled + quantized images) through BOTH modes of the full flagship
+    matcher and (a) asserts the divergence is CONFINED to exact score ties —
+    every differing keypoint's score equals a score present on both sides —
+    and (b) measures the downstream mutual-NN match-set divergence, printing
+    it per draw so the default path's deviation is a bounded number, not an
+    assumption.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match)
+    from onnx_image_processing_tpu.utils.host_postprocess import (
+        extract_matches)
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    tile = rng.uniform(0, 255, (draw["tile_h"], draw["tile_w"]))
+    img = np.tile(tile, (draw["reps_y"], draw["reps_x"]))
+    q = 256 // draw["quant_levels"]
+    img = (img // q * q).astype(np.float32)
+    img1 = jnp.asarray(img[None, None])
+    img2 = jnp.asarray(np.roll(img, 3, axis=1)[None, None].astype(np.float32))
+
+    # Export-config defaults (hard binarize, eps 0.05) so P is peaked and the
+    # downstream match comparison is meaningful (soft eps=1.0 dilutes P to
+    # ~1/K and extracts nothing).
+    base = MatcherConfig(max_keypoints=draw["max_keypoints"],
+                         num_pairs=256, nms_radius=draw["nms_radius"],
+                         binarize=True, soft_binarize=False, epsilon=0.05,
+                         use_pallas=False)
+    out = {}
+    for mode in ("block", "sort"):
+        k1, k2, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(
+            img1, img2, base.with_(topk_mode=mode))
+        out[mode] = tuple(np.asarray(v) for v in (k1, k2, p))
+
+    stats = {}
+    for side in (0, 1):
+        kb, ks_ = out["block"][side][0], out["sort"][side][0]
+        set_b = {tuple(v) for v in kb.tolist()}
+        set_s = {tuple(v) for v in ks_.tolist()}
+        diff = set_b ^ set_s
+        stats[f"kpt_diff_{side + 1}"] = len(diff)
+        if diff:
+            # Every divergent keypoint must sit on an exact score tie:
+            # its score (from the raw map) appears among BOTH modes' kept
+            # scores — i.e. block mode dropped/kept a tied COPY, never a
+            # uniquely-scored keypoint.
+            from onnx_image_processing_tpu.ops import shi_tomasi_score
+
+            smap = np.asarray(shi_tomasi_score(
+                img1 if side == 0 else img2, block_size=base.block_size))[0, 0]
+            scores_b = {round(float(smap[int(y), int(x)]), 10)
+                        for (y, x) in set_b if y >= 0}
+            scores_s = {round(float(smap[int(y), int(x)]), 10)
+                        for (y, x) in set_s if y >= 0}
+            for (y, x) in diff:
+                if y < 0:
+                    continue
+                sc = round(float(smap[int(y), int(x)]), 10)
+                if sc not in scores_b or sc not in scores_s:
+                    errors.append(
+                        f"side {side + 1}: divergent keypoint ({y},{x}) "
+                        f"score {sc} is NOT a shared tie — block mode "
+                        f"changed a uniquely-ranked selection")
+                    break
+
+    # Downstream divergence: extracted mutual-NN match pair sets.
+    pairs = {}
+    for mode in ("block", "sort"):
+        k1, k2, p = out[mode]
+        mk1, mk2, _ = extract_matches(p, k1, k2, threshold=0.1,
+                                      max_matches=draw["max_keypoints"])
+        pairs[mode] = {(tuple(a), tuple(b))
+                       for a, b in zip(mk1.tolist(), mk2.tolist())}
+    inter = len(pairs["block"] & pairs["sort"])
+    union = len(pairs["block"] | pairs["sort"]) or 1
+    stats["match_jaccard"] = round(inter / union, 3)
+    stats["matches_block"] = len(pairs["block"])
+    stats["matches_sort"] = len(pairs["sort"])
+    print(f"       ties stats: {stats}")
+    return errors
+
+
 def _run_reference_draw(draw: dict) -> list[str]:
     """Diff a random-config draw against the reference PyTorch pipeline
     (the strongest oracle): exact keypoint-SET equality (flat top-k mode
@@ -359,9 +476,15 @@ def main(argv=None) -> int:
     ap.add_argument("--essential", action="store_true",
                     help="fuzz the essential-matrix estimator (random P "
                          "shapes + intrinsics) against the reference solver")
+    ap.add_argument("--ties", action="store_true",
+                    help="probe the block-topk tie divergence on adversarial "
+                         "tiled/quantized inputs (block vs sort through the "
+                         "full matcher, downstream match-set Jaccard)")
     args = ap.parse_args(argv)
 
-    if args.akaze:
+    if args.ties:
+        run, one = _run_ties_draw, _one_ties_draw
+    elif args.akaze:
         run, one = _run_akaze_reference_draw, _one_akaze_draw
     elif args.essential:
         run, one = _run_essential_reference_draw, _one_essential_draw
