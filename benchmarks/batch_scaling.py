@@ -56,8 +56,12 @@ def _step_stacked(cfg):
 
     def step(a, b):
         _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(a, b, cfg)
-        eps = p[0, 0, 0] * 1e-12
-        return p[0, 0, 0], (a + eps, b + eps)
+        # Depend on EVERY pair's full output — a single-element dependency
+        # (p[0,0,0]) lets XLA dead-code-eliminate other pairs' compute in
+        # batched graphs (observed: a 0.15 ms/pair mirage at B=7 vmapped).
+        tot = p.sum()
+        eps = tot * 1e-12
+        return tot, (a + eps, b + eps)
 
     return step
 
@@ -76,15 +80,40 @@ def _step_vmapped(cfg):
 
     def step(a, b):  # a, b: (B, 1, H, W) -> vmap over B of (1,1,H,W) pipelines
         _, _, p = vm(a, b)
-        eps = p[0, 0, 0, 0] * 1e-12
-        return p[0, 0, 0, 0], (a + eps, b + eps)
+        tot = p.sum()  # all pairs: see _step_stacked on DCE
+        eps = tot * 1e-12
+        return tot, (a + eps, b + eps)
+
+    return step
+
+
+def _step_split(cfg):
+    """Alternative: B independent single-pair pipelines in one jit step (no
+    stacked batch at all) — isolates whether the (2B)-batch layout itself
+    causes the fused-graph overhead, and models 'several pairs in flight'
+    serving without stream_map."""
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match)
+
+    def step(a, b):  # a, b: (B, 1, H, W)
+        outs = []
+        for i in range(a.shape[0]):
+            _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(
+                a[i:i + 1], b[i:i + 1], cfg)
+            outs.append(p[0, 0, 0])
+        tot = jnp.stack(outs).sum()
+        eps = tot * 1e-12
+        return tot, (a + eps, b + eps)
 
     return step
 
 
 def sweep(bs, variant="stacked", n=30):
     cfg = _flagship_cfg()
-    make = {"stacked": _step_stacked, "vmapped": _step_vmapped}[variant]
+    make = {"stacked": _step_stacked, "vmapped": _step_vmapped,
+            "split": _step_split}[variant]
     out = []
     for b in bs:
         i1, i2 = _images(b)
@@ -128,13 +157,14 @@ def _aggregate_ops(trace_dir):
     return agg
 
 
-def trace_b(b, n=30, top=25):
+def trace_b(b, n=30, top=25, variant="stacked"):
     import tempfile
 
     import jax
 
     cfg = _flagship_cfg()
-    step = _step_stacked(cfg)
+    step = {"stacked": _step_stacked, "vmapped": _step_vmapped,
+            "split": _step_split}[variant](cfg)
     i1, i2 = _images(b)
 
     from benchmarks.timing import _build_chain
@@ -150,7 +180,8 @@ def trace_b(b, n=30, top=25):
         return
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
     total = sum(v[0] for v in agg.values())
-    print(json.dumps({"B": b, "total_us_per_step": round(total / n, 1),
+    print(json.dumps({"B": b, "variant": variant,
+                      "total_us_per_step": round(total / n, 1),
                       "ops": [
                           {"op": k[:90], "us_per_step": round(v[0] / n, 1),
                            "count": v[1] // n}
@@ -160,7 +191,8 @@ def trace_b(b, n=30, top=25):
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--bs", type=int, nargs="+", default=[1, 2, 4, 8])
-    ap.add_argument("--variant", choices=["stacked", "vmapped", "both"],
+    ap.add_argument("--variant",
+                    choices=["stacked", "vmapped", "split", "both"],
                     default="stacked")
     ap.add_argument("--trace", action="store_true",
                     help="aggregate a device trace per B instead of timing")
@@ -168,9 +200,11 @@ def main():
     setup_cache()
     if args.trace:
         for b in args.bs:
-            trace_b(b)
+            for v in (["stacked", "vmapped", "split"]
+                      if args.variant == "both" else [args.variant]):
+                trace_b(b, variant=v)
         return 0
-    variants = (["stacked", "vmapped"] if args.variant == "both"
+    variants = (["stacked", "vmapped", "split"] if args.variant == "both"
                 else [args.variant])
     for v in variants:
         sweep(args.bs, v)

@@ -40,20 +40,28 @@ REFERENCE_PATH = os.environ.get("REFERENCE_PATH", "/root/reference")
 # Synthetic scene with exact ground truth
 # ---------------------------------------------------------------------------
 
-def make_scene(n_points=1800, seed=0):
-    """Random 3-D point sprites in a slab in front of the trajectory.
+def make_scene(n_clusters=2200, seed=0):
+    """Random 3-D sprite CLUSTERS in a slab in front of the trajectory.
 
     Non-planar by construction (depth spread 4..14) so the essential-matrix
     geometry is well-posed for RANSAC (a plane would be a degenerate config).
+    Each cluster is 3 nearby sprites with random offsets/intensities: isolated
+    Gaussian dots are locally identical (BAD cannot tell them apart — an
+    early single-sprite scene produced geometrically-perfect but only ~10
+    confident matches/frame), whereas a random constellation inside the
+    descriptor's 32x32 patch gives every neighborhood a unique signature.
     """
     rng = np.random.default_rng(seed)
-    pts = np.stack([
-        rng.uniform(-14.0, 14.0, n_points),
-        rng.uniform(-9.0, 9.0, n_points),
-        rng.uniform(4.0, 14.0, n_points),
+    centers = np.stack([
+        rng.uniform(-14.0, 14.0, n_clusters),
+        rng.uniform(-9.0, 9.0, n_clusters),
+        rng.uniform(4.0, 14.0, n_clusters),
     ], axis=1)
-    intensity = rng.uniform(90.0, 255.0, n_points)
-    size = rng.uniform(0.8, 2.2, n_points)
+    offsets = rng.normal(0, 0.12, (n_clusters, 3, 3))
+    offsets[:, :, 2] *= 0.3  # keep members at similar depth
+    pts = (centers[:, None, :] + offsets).reshape(-1, 3)
+    intensity = rng.uniform(90.0, 255.0, len(pts))
+    size = rng.uniform(0.8, 2.2, len(pts))
     return pts, intensity, size
 
 
@@ -175,6 +183,12 @@ def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
                 max_matches=256):
     """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1."""
     import jax
+
+    if all(d.platform != "tpu" for d in jax.devices()) or \
+            os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Accuracy does not need the TPU; pin CPU so this benchmark can run
+        # beside a TPU job (the axon tunnel serializes TPU processes).
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -221,7 +235,7 @@ def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
     # binarize, eps 0.05, nms radius 5.
     matcher = ShiTomasiAngleSparseBADSinkhornMatcher(
         max_keypoints=max_keypoints, num_pairs=512,
-        use_binarization=True, use_soft_binarization=False,
+        binarize=True, soft_binarize=False,
         epsilon=0.05, nms_radius=5)
     matcher.eval()
 
@@ -234,7 +248,15 @@ def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
             mk1, mk2, _ = extract_matches(p, k1, k2,
                                           threshold=match_threshold,
                                           max_matches=max_matches)
-            r, t, _ = ref_pose(mk1, mk2, intr)
+            # The reference's pose path crashes on OpenCV 5 when
+            # findEssentialMat returns stacked (3k, 3) candidate solutions
+            # (`vo/pose_estimation.py:102` passes E through unchecked); ours
+            # scores candidates by chirality-consistent inliers
+            # (vo/pose.py). Count the crash as that frame's pose failure.
+            try:
+                r, t, _ = ref_pose(mk1, mk2, intr)
+            except Exception:
+                r, t = None, None
             rel.append((r, t))
     return rel
 
@@ -282,8 +304,26 @@ def relative_gt_for_step(i):
     return relative_gt(_GT_POSES, i, i + 1)
 
 
-def main(argv=None):
+def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False):
+    """Run both VO stacks on one shared synthetic sequence; returns
+    (ours_record, reference_record_or_None). Reused by the pinned accuracy
+    test (tests/test_vo_accuracy.py)."""
     global _GT_POSES, _GT_POSITIONS
+    frames, poses, k = make_sequence(n_frames, h, w)
+    _GT_POSES = poses
+    _GT_POSITIONS = np.array([c for _, c in poses])
+
+    ours = run_vo_ours(frames, k, max_keypoints)
+    rec_ours = evaluate(ours, poses, "ours_jax")
+    rec_ref = None
+    if not skip_reference and os.path.isdir(
+            os.path.join(REFERENCE_PATH, "pytorch_model")):
+        ref = run_vo_reference(frames, k, max_keypoints)
+        rec_ref = evaluate(ref, poses, "reference_torch")
+    return rec_ours, rec_ref
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--size", type=int, nargs=2, default=[240, 320],
@@ -293,16 +333,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     h, w = args.size
-    frames, poses, k = make_sequence(args.frames, h, w)
-    _GT_POSES = poses
-    _GT_POSITIONS = np.array([c for _, c in poses])
-
-    ours = run_vo_ours(frames, k, args.max_keypoints)
-    rec_ours = evaluate(ours, poses, "ours_jax")
-    if not args.skip_reference and os.path.isdir(
-            os.path.join(REFERENCE_PATH, "pytorch_model")):
-        ref = run_vo_reference(frames, k, args.max_keypoints)
-        rec_ref = evaluate(ref, poses, "reference_torch")
+    rec_ours, rec_ref = run_comparison(args.frames, h, w, args.max_keypoints,
+                                       args.skip_reference)
+    if rec_ref is not None:
         print(json.dumps({
             "vo": "summary",
             "ate_ratio_ours_over_ref":

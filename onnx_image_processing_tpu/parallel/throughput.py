@@ -25,6 +25,40 @@ from typing import Callable, Iterable, Iterator
 import jax
 
 
+def vmap_pairs(fn: Callable) -> Callable:
+    """Multi-pair single-chip throughput composition: vmap ``fn`` (a
+    single-pair matcher of (1, 1, H, W) images) over a leading pair axis.
+
+    Why this exists (measured, v5e, flagship 480x640/512, see BASELINE.md
+    batch-scaling table): feeding a multi-pair batch through the pipeline's
+    native stacked-(2B) layout triggers an XLA layout pathology — the NMS
+    ``reduce_window_max`` inflates from 36 us (B=1) to ~756 us inside the
+    fused B=2 graph, while the same op scales linearly standalone
+    (benchmarks/batch_scaling.py --trace names it; /tmp probe ruled out the
+    op itself). vmapping B single-pair pipelines instead keeps every stage's
+    native layout: 0.52-0.56 ms/pair at B in {2, 4} vs 0.75-0.96 stacked,
+    and B=4 (1,930 pairs/s) beats even B=1 (1,810). At B >= 8 the vmapped
+    graph regresses (VMEM pressure) — for deeper batching run one pair per
+    device over the mesh (`shard_batch`) instead.
+
+    Args:
+        fn: callable (img1 (1,1,H,W), img2 (1,1,H,W)) -> pytree.
+
+    Returns:
+        callable (img1 (B,1,H,W), img2 (B,1,H,W)) -> pytree with a leading
+        B axis on every leaf.
+    """
+    vm = jax.vmap(lambda a, b: fn(a[None], b[None]))
+
+    def batched(img1, img2):
+        out = vm(img1, img2)
+        # fn's leaves carry their own leading batch-1 axis; squeeze it so the
+        # result looks exactly like the stacked-batch call: (B, ...) leaves.
+        return jax.tree_util.tree_map(lambda x: x[:, 0], out)
+
+    return batched
+
+
 def stream_map(fn: Callable, inputs: Iterable, depth: int = 2) -> Iterator:
     """Map ``fn`` over ``inputs`` with up to ``depth`` steps in flight.
 

@@ -80,7 +80,19 @@ def estimate_pose_ransac(
         return None, None, np.zeros(n, dtype=bool)
     inliers = mask.ravel().astype(bool)
 
-    num, r, t, pose_mask = cv2.recoverPose(e, pts1, pts2, intrinsics.K, mask=mask)
+    # findEssentialMat may return k stacked (3, 3) candidate solutions as a
+    # (3k, 3) matrix (the 5-point minimal solver is multi-root); recoverPose
+    # asserts 3x3. The reference passes E through unchecked and would crash
+    # identically (`vo/pose_estimation.py:102-109`); here we score every
+    # candidate by its chirality-consistent inlier count and keep the best.
+    best = (0, None, None, None)
+    for i in range(e.shape[0] // 3):
+        cand = np.ascontiguousarray(e[3 * i:3 * i + 3])
+        num, r, t, pose_mask = cv2.recoverPose(cand, pts1, pts2, intrinsics.K,
+                                               mask=mask.copy())
+        if num > best[0]:
+            best = (num, r, t, pose_mask)
+    num, r, t, pose_mask = best
     if num < 5:
         return None, None, inliers
     return r, t, (mask.ravel() != 0) & (pose_mask.ravel() > 0)

@@ -32,6 +32,15 @@ import jax  # noqa: E402
 
 if not TPU_TIER:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+else:
+    # Persistent compile cache for the hardware tier: re-verification runs
+    # (the tier's whole purpose) skip the ~10 min of cold compiles. Safe for
+    # skew detection — libtpu/JAX version bumps change the cache keys.
+    _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/oip_tpu_xla"))
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):

