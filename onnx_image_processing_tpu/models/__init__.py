@@ -18,7 +18,8 @@ from .essential_family import (
     akaze_sparse_bad_sinkhorn_essential_match,
 )
 from .extraction import with_match_extraction
-from .registry import PipelineSpec, register, names, get, build, compile_model
+from .registry import (PipelineSpec, register, names, get, build,
+                       build_batched, compile_model)
 from .serialize import (
     POLYMORPHIC_EXPORTS,
     export_model,
@@ -48,6 +49,7 @@ __all__ = [
     "names",
     "get",
     "build",
+    "build_batched",
     "compile_model",
     "POLYMORPHIC_EXPORTS",
     "export_model",

@@ -2,14 +2,26 @@
 
 The reference has zero distributed machinery (SURVEY.md §2.13) — its only
 parallel axis is the unused batch dimension B. Here that axis becomes a real
-scaling axis: a 1-D ``jax.sharding.Mesh`` over all chips, images sharded over
-the ``batch`` axis, and every pipeline compiled with ``jax.jit`` +
-``NamedSharding`` so XLA keeps each image pair resident on one chip (no
-cross-chip collectives are needed for the embarrassingly-parallel
-frame-matching workload; collectives appear only if a user reduces across the
-batch). TP/PP/SP/EP have no analogue in this domain — there are no weights to
-shard and the per-image state (≤480×640 maps, ≤1024² Sinkhorn matrix) fits one
-chip's VMEM/HBM trivially (SURVEY.md §2.13); the scaling story is throughput.
+scaling axis: a 1-D ``jax.sharding.Mesh`` over all chips with images sharded
+over the ``batch`` axis. TP/PP/SP/EP have no analogue in this domain — there
+are no weights to shard and the per-image state (≤480×640 maps, ≤1024²
+Sinkhorn matrix) fits one chip's VMEM/HBM trivially (SURVEY.md §2.13); the
+scaling story is throughput.
+
+Two compositions, measured at the HLO level (round 3):
+
+* ``method="shard_map"`` (default) — ``jax.shard_map`` runs the per-device
+  shard of the batch through ``fn`` locally. The compiled program contains
+  **zero collectives of any kind** (verified: no collective-permute /
+  all-gather / all-to-all / all-reduce in the HLO), so there is no
+  cross-device rendezvous to time out and throughput is linear in chips by
+  construction. Bit-identical to the unsharded call (tests/test_parallel.py).
+* ``method="jit"`` — ``jax.jit`` with ``NamedSharding`` constraints and XLA's
+  SPMD partitioner. For the two-image matchers this is NOT collective-free:
+  the pair-stack ``concatenate`` forces a cross-device reshard (27
+  collective-permutes + 30 all-to-alls in the flagship step's HLO) and
+  ``top_k`` is partitioned via small all-gathers. Kept for comparison and for
+  functions that genuinely reduce across the batch.
 """
 
 from __future__ import annotations
@@ -35,16 +47,28 @@ def batch_sharding(mesh: Mesh, axis_name: str = "batch") -> NamedSharding:
 
 
 def shard_batch(fn: Callable, mesh: Mesh, axis_name: str = "batch",
-                n_in: int | None = None) -> Callable:
+                method: str = "shard_map") -> Callable:
     """Compile ``fn`` with every input/output sharded over the batch axis.
 
-    ``fn`` must treat axis 0 of every argument as the batch. Batch size must be
-    a multiple of the mesh size. Returns a jitted callable; inputs placed
-    anywhere are resharded on entry.
+    ``fn`` must treat axis 0 of every argument as the batch. Batch size must
+    be a multiple of the mesh size. Returns a jitted callable; inputs placed
+    anywhere are resharded on entry. See the module docstring for the
+    ``method`` trade-off (default ``"shard_map"``: zero collectives).
     """
-    sharding = batch_sharding(mesh, axis_name)
-
-    jitted = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+    if method == "shard_map":
+        spec = P(axis_name)
+        # check_vma=False: fori_loop carries initialized from constants (the
+        # Sinkhorn u0/v0 zeros) are "unvarying" under the VMA analysis while
+        # the loop body's outputs vary per shard; the computation is still
+        # per-device pure so the check is safely skipped.
+        jitted = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=spec,
+                                       out_specs=spec, check_vma=False))
+    elif method == "jit":
+        sharding = batch_sharding(mesh, axis_name)
+        jitted = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+    else:
+        raise ValueError(f"unknown shard_batch method {method!r} "
+                         "(expected 'shard_map' or 'jit')")
 
     def wrapped(*args):
         for a in args:

@@ -145,3 +145,37 @@ def test_vmap_pairs_matches_stacked():
     np.testing.assert_array_equal(k1_v, k1_s)
     np.testing.assert_array_equal(k2_v, k2_s)
     np.testing.assert_allclose(p_v, p_s, atol=1e-5)
+
+    # The registry-level throughput entry point is the same composition.
+    fb = models.build_batched("shi_tomasi_angle_sparse_bad_sinkhorn",
+                              max_keypoints=32, num_pairs=256,
+                              use_pallas=False)
+    k1_b, k2_b, p_b = (np.asarray(o) for o in fb(img1, img2))
+    np.testing.assert_array_equal(k1_b, k1_v)
+    np.testing.assert_allclose(p_b, p_v, atol=1e-6)
+
+
+def test_shard_map_compiles_with_zero_collectives(mesh):
+    """The default shard_batch composition must contain NO collectives at the
+    HLO level — the workload is embarrassingly parallel, so any collective is
+    a partitioner artifact that costs cross-device synchronization (the 'jit'
+    method's pair-stack reshard produced 27 collective-permutes + 30
+    all-to-alls and an XLA-CPU rendezvous abort under load; round 3)."""
+    cfg = MatcherConfig(max_keypoints=16, num_pairs=256, use_pallas=False)
+
+    def step(i1, i2):
+        return shi_tomasi_angle_sparse_bad_sinkhorn_match(i1, i2, cfg)
+
+    rng = np.random.default_rng(1)
+    i1 = device_put_batch(
+        rng.uniform(0, 255, (8, 1, 48, 64)).astype(np.float32), mesh)
+    i2 = device_put_batch(
+        rng.uniform(0, 255, (8, 1, 48, 64)).astype(np.float32), mesh)
+
+    spec = jax.sharding.PartitionSpec("batch")
+    jitted = jax.jit(jax.shard_map(step, mesh=mesh, in_specs=spec,
+                                   out_specs=spec, check_vma=False))
+    hlo = jitted.lower(i1, i2).compile().as_text()
+    for coll in ("collective-permute", "all-gather", "all-to-all",
+                 "all-reduce"):
+        assert coll not in hlo, f"{coll} found in shard_map HLO"
