@@ -59,6 +59,77 @@ def vmap_pairs(fn: Callable) -> Callable:
     return batched
 
 
+def stream_map_chunked(fn_batched: Callable, pairs: Iterable, chunk: int,
+                       depth: int = 2) -> Iterator:
+    """Serve (img1, img2) pairs through a BATCHED matcher, ``chunk`` pairs per
+    device round trip.
+
+    On a remote/tunneled device every dispatch costs ~3 serialized round
+    trips (two uploads + one fetch); per-pair streaming is therefore
+    RTT-bound regardless of pipeline depth (measured: ~9 pairs/s on this
+    rig's ~40 ms tunnel vs the chip's ~1,800 pairs/s). Chunking amortizes:
+    one upload of (chunk, 1, H, W) per side, one batched execution
+    (`models.build_batched` / `vmap_pairs` — see BASELINE.md batch scaling;
+    chunk ≈ 4–6 is the measured per-pair optimum on v5e), one fetch — the
+    per-pair tunnel cost falls ~chunk×, bounded below by transfer bandwidth
+    and the chip.
+
+    Args:
+        fn_batched: callable over ((C,1,H,W), (C,1,H,W)) batches — e.g.
+            ``models.build_batched(name, ...)``.
+        pairs: iterable of (img1 (1,1,H,W)-like, img2) host arrays.
+        chunk: pairs per device round trip. The final short chunk is padded
+            to ``chunk`` by repeating its last pair (results are sliced back,
+            so callers see exactly one result per input pair).
+        depth: chunks in flight (as in ``stream_map``).
+
+    Yields:
+        Per-pair result pytrees (leaves have their leading chunk axis
+        sliced), in input order.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+
+    def chunks():
+        buf = []
+        for pair in pairs:
+            buf.append(pair)
+            if len(buf) == chunk:
+                yield buf, chunk
+                buf = []
+        if buf:
+            n = len(buf)
+            buf = buf + [buf[-1]] * (chunk - n)  # pad; slice back below
+            yield buf, n
+
+    def run(item):
+        buf, n = item
+        # Stack on the HOST so each side is ONE device transfer per chunk —
+        # device-side concatenate of per-pair jnp.asarray uploads would pay
+        # the per-transfer round trip chunk times over (measured: chunk=8
+        # that way was SLOWER than unchunked on the tunneled rig).
+        a = jnp.asarray(np.concatenate([np.asarray(p[0]) for p in buf], 0))
+        b = jnp.asarray(np.concatenate([np.asarray(p[1]) for p in buf], 0))
+        return fn_batched(a, b), n
+
+    pending: deque = deque()
+    for item in chunks():
+        if len(pending) >= depth:
+            out, n = pending.popleft()
+            out = jax.device_get(out)
+            for i in range(n):
+                yield jax.tree_util.tree_map(lambda x: x[i], out)
+        pending.append(run(item))
+    while pending:
+        out, n = pending.popleft()
+        out = jax.device_get(out)
+        for i in range(n):
+            yield jax.tree_util.tree_map(lambda x: x[i], out)
+
+
 def stream_map(fn: Callable, inputs: Iterable, depth: int = 2) -> Iterator:
     """Map ``fn`` over ``inputs`` with up to ``depth`` steps in flight.
 

@@ -179,3 +179,31 @@ def test_shard_map_compiles_with_zero_collectives(mesh):
     for coll in ("collective-permute", "all-gather", "all-to-all",
                  "all-reduce"):
         assert coll not in hlo, f"{coll} found in shard_map HLO"
+
+
+def test_stream_map_chunked_matches_sequential():
+    """Chunked serving must yield exactly the per-pair sequential results, in
+    order, including a padded final short chunk."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import stream_map_chunked
+
+    rng = np.random.default_rng(3)
+    h, w, n = 72, 96, 7  # 7 pairs, chunk 3 -> final chunk is short (1)
+    pairs = [(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32),
+              rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+             for _ in range(n)]
+
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=16, num_pairs=256, use_pallas=False)
+    fb = models.build_batched("shi_tomasi_angle_sparse_bad_sinkhorn",
+                              max_keypoints=16, num_pairs=256,
+                              use_pallas=False)
+
+    seq = [jax.device_get(fn(jnp.asarray(a), jnp.asarray(b)))
+           for a, b in pairs]
+    out = list(stream_map_chunked(fb, pairs, chunk=3, depth=2))
+    assert len(out) == n
+    for got, want in zip(out, seq):
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_)[0],
+                                       atol=1e-5)
