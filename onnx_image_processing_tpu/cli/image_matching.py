@@ -28,6 +28,12 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--max-keypoints", "-k", type=int, default=None,
                    help="override pipeline max keypoints")
+    p.add_argument("--topk-mode", choices=["block", "sort", "approx"],
+                   default=None,
+                   help="keypoint selection: block (default), sort "
+                        "(reference-exact ties), approx (lax.approx_max_k, "
+                        "~5x faster selection at 1080p, recall 0.99 — "
+                        "BASELINE.md)")
     p.add_argument("--match-threshold", "-t", type=float, default=0.1)
     p.add_argument("--max-matches", type=int, default=100)
     p.add_argument("--no-benchmark", action="store_true")
@@ -49,6 +55,8 @@ def main(argv=None):
     overrides = {}
     if args.max_keypoints is not None:
         overrides["max_keypoints"] = args.max_keypoints
+    if args.topk_mode is not None:
+        overrides["topk_mode"] = args.topk_mode
     fn = models.build(args.model, **overrides)
 
     i1, i2 = jnp.asarray(arr1), jnp.asarray(arr2)
