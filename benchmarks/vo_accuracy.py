@@ -214,6 +214,36 @@ def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
     return rel
 
 
+def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
+                          max_matches=256):
+    """In-graph essential-matrix pipeline (+ host recoverPose chirality) —
+    app-level accuracy for the essential family (no RANSAC in the loop;
+    reference analogue: `sample/visual_odometry.py:95-143`)."""
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.utils.host_postprocess import (
+        extract_matches)
+    from onnx_image_processing_tpu.vo import CameraIntrinsics, recover_pose
+
+    h, w = frames[0].shape
+    intr = CameraIntrinsics(k[0, 0], k[1, 1], k[0, 2], k[1, 2], w, h)
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
+                      max_keypoints=max_keypoints)
+    k_inv = jnp.asarray(np.linalg.inv(k).astype(np.float32))
+
+    rel = []
+    for i in range(len(frames) - 1):
+        a = jnp.asarray(frames[i][None, None])
+        b = jnp.asarray(frames[i + 1][None, None])
+        k1, k2, p, e = (np.asarray(o) for o in fn(a, b, k_inv))
+        mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
+                                      max_matches=max_matches)
+        r, t, _ = recover_pose(e, mk1, mk2, intr)
+        rel.append((r, t))
+    return rel
+
+
 def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
                      max_matches=256):
     """Reference torch matcher + (same) host extraction + reference pose path."""
@@ -323,6 +353,19 @@ def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False):
     return rec_ours, rec_ref
 
 
+def run_comparison_ingraph_e(n_frames, h, w, max_keypoints):
+    """In-graph-E stack vs the RANSAC stack on one shared sequence."""
+    global _GT_POSES, _GT_POSITIONS
+    frames, poses, k = make_sequence(n_frames, h, w)
+    _GT_POSES = poses
+    _GT_POSITIONS = np.array([c for _, c in poses])
+    rec_ransac = evaluate(run_vo_ours(frames, k, max_keypoints), poses,
+                          "ours_ransac")
+    rec_e = evaluate(run_vo_ours_ingraph_e(frames, k, max_keypoints), poses,
+                     "ours_ingraph_e")
+    return rec_ransac, rec_e
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--frames", type=int, default=60)
@@ -330,9 +373,16 @@ def main(argv=None):
                     metavar=("H", "W"))
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--in-graph-e", action="store_true",
+                    help="compare the in-graph essential-matrix pipeline "
+                         "(+ host recoverPose) against the RANSAC stack "
+                         "instead of against the reference")
     args = ap.parse_args(argv)
 
     h, w = args.size
+    if args.in_graph_e:
+        run_comparison_ingraph_e(args.frames, h, w, args.max_keypoints)
+        return 0
     rec_ours, rec_ref = run_comparison(args.frames, h, w, args.max_keypoints,
                                        args.skip_reference)
     if rec_ref is not None:
