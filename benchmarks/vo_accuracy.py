@@ -36,6 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_PATH = os.environ.get("REFERENCE_PATH", "/root/reference")
 
 
+def _pin_cpu():
+    """Accuracy needs no device speed; ALWAYS pin the CPU backend so this
+    benchmark can run beside a TPU job (the axon tunnel serializes TPU
+    processes — see docs/TESTING.md)."""
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 # ---------------------------------------------------------------------------
 # Synthetic scene with exact ground truth
 # ---------------------------------------------------------------------------
@@ -168,11 +177,16 @@ def rot_deg(r_a, r_b):
 
 
 def dir_deg(t_a, t_b):
+    """Angle between translation directions, SIGN-SENSITIVE (0..180 deg).
+
+    recoverPose resolves the chirality, so both stacks' t vectors carry a
+    meaningful sign — taking |cos| here would score a systematically
+    sign-inverted translation as perfect and hide that failure class."""
     na, nb = np.linalg.norm(t_a), np.linalg.norm(t_b)
     if na < 1e-12 or nb < 1e-12:
         return 0.0
     cosang = float(np.dot(np.ravel(t_a), np.ravel(t_b)) / (na * nb))
-    return float(np.degrees(np.arccos(np.clip(abs(cosang), -1, 1))))
+    return float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
 
 
 # ---------------------------------------------------------------------------
@@ -182,13 +196,7 @@ def dir_deg(t_a, t_b):
 def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
                 max_matches=256):
     """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1."""
-    import jax
-
-    if all(d.platform != "tpu" for d in jax.devices()) or \
-            os.environ.get("JAX_PLATFORMS") == "cpu":
-        # Accuracy does not need the TPU; pin CPU so this benchmark can run
-        # beside a TPU job (the axon tunnel serializes TPU processes).
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    _pin_cpu()
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -219,6 +227,7 @@ def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
     """In-graph essential-matrix pipeline (+ host recoverPose chirality) —
     app-level accuracy for the essential family (no RANSAC in the loop;
     reference analogue: `sample/visual_odometry.py:95-143`)."""
+    _pin_cpu()
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -292,9 +301,11 @@ def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
 
 
 def evaluate(rel_poses, gt, label):
-    """Accumulate relative poses into a trajectory + compute ATE/RPE."""
+    """Accumulate relative poses into a trajectory + compute ATE/RPE against
+    the ``gt`` pose list (the sequence the poses were estimated on)."""
     from onnx_image_processing_tpu.vo import Trajectory
 
+    gt_positions = np.array([c for _, c in gt])
     traj = Trajectory()
     rot_errs, dir_errs, fails = [], [], 0
     for i, (r, t) in enumerate(rel_poses):
@@ -302,7 +313,7 @@ def evaluate(rel_poses, gt, label):
             fails += 1
             traj.add_relative_pose(np.eye(3), np.zeros(3))
             continue
-        r_gt, t_gt = relative_gt_for_step(i)
+        r_gt, t_gt = relative_gt(gt, i, i + 1)
         rot_errs.append(rot_deg(r, r_gt))
         dir_errs.append(dir_deg(t, t_gt))
         # recoverPose returns camera2<-camera1 (x2 = R x1 + t); the camera
@@ -311,7 +322,7 @@ def evaluate(rel_poses, gt, label):
         traj.add_relative_pose(np.asarray(r).T,
                                -np.asarray(r).T @ np.reshape(t, (3, 1)))
     est_pos = traj.get_positions_array()
-    ate = ate_rmse(est_pos, _GT_POSITIONS[:len(est_pos)])
+    ate = ate_rmse(est_pos, gt_positions[:len(est_pos)])
     rec = {
         "vo": label,
         "frames": len(rel_poses) + 1,
@@ -326,22 +337,11 @@ def evaluate(rel_poses, gt, label):
     return rec
 
 
-_GT_POSES = None
-_GT_POSITIONS = None
-
-
-def relative_gt_for_step(i):
-    return relative_gt(_GT_POSES, i, i + 1)
-
-
 def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False):
     """Run both VO stacks on one shared synthetic sequence; returns
     (ours_record, reference_record_or_None). Reused by the pinned accuracy
     test (tests/test_vo_accuracy.py)."""
-    global _GT_POSES, _GT_POSITIONS
     frames, poses, k = make_sequence(n_frames, h, w)
-    _GT_POSES = poses
-    _GT_POSITIONS = np.array([c for _, c in poses])
 
     ours = run_vo_ours(frames, k, max_keypoints)
     rec_ours = evaluate(ours, poses, "ours_jax")
@@ -355,10 +355,7 @@ def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False):
 
 def run_comparison_ingraph_e(n_frames, h, w, max_keypoints):
     """In-graph-E stack vs the RANSAC stack on one shared sequence."""
-    global _GT_POSES, _GT_POSITIONS
     frames, poses, k = make_sequence(n_frames, h, w)
-    _GT_POSES = poses
-    _GT_POSITIONS = np.array([c for _, c in poses])
     rec_ransac = evaluate(run_vo_ours(frames, k, max_keypoints), poses,
                           "ours_ransac")
     rec_e = evaluate(run_vo_ours_ingraph_e(frames, k, max_keypoints), poses,

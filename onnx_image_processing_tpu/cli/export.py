@@ -127,6 +127,13 @@ def main(argv=None):
                 else jax.default_backend())
     if args.dynamic:
         names = args.models or sorted(models.POLYMORPHIC_EXPORTS)
+        if not args.output_dir:
+            # The static path without -o is a pure compile check; dynamic
+            # export must serialize to verify, so require an explicit
+            # destination rather than silently littering the cwd.
+            print("error: --dynamic requires --output-dir "
+                  "(artifacts must be written somewhere to be verified)")
+            return 2
     else:
         names = args.models or models.names()
     failures = []
@@ -139,9 +146,9 @@ def main(argv=None):
             if args.dynamic:
                 exported = models.export_model_polymorphic(
                     name, platform=platform, **overrides)
-                out_dir = args.output_dir or "."
                 path = models.save_exported(
-                    exported, models.artifact_path(out_dir, name, platform,
+                    exported, models.artifact_path(args.output_dir, name,
+                                                   platform,
                                                    polymorphic=True))
                 if not args.no_verify:
                     _verify_poly_roundtrip(path, name, args.height, args.width,

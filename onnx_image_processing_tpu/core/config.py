@@ -147,6 +147,15 @@ class MatcherConfig:
     # SAMPLER backend (where the kernel wins and TPU defaults to it).
     fused_detect: bool = False
 
+    def __post_init__(self):
+        # Validate here (not in one selector helper) so every pipeline path —
+        # including the fused front-end's _select_premasked, which would
+        # otherwise silently degrade an unknown mode to flat-sort behavior —
+        # fails loudly at construction.
+        if self.topk_mode not in ("block", "sort", "approx"):
+            raise ValueError(f"unknown topk_mode {self.topk_mode!r} "
+                             "(expected 'block', 'sort', or 'approx')")
+
     def with_(self, **kwargs) -> "MatcherConfig":
         """Replace fields. Flat sub-config keys are accepted with their prefix:
         ``fast_threshold=30`` == ``fast=cfg.fast.with_(threshold=30)``; same for

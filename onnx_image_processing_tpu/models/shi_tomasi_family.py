@@ -55,9 +55,7 @@ def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
     # cfg.topk_mode="sort" restores the reference-exact flat top-k;
     # "approx" additionally swaps the final sort for lax.approx_max_k
     # (recall 0.95 — measured 5x faster at 1080p scale, see ops/keypoints.py).
-    if cfg.topk_mode not in ("block", "sort", "approx"):
-        raise ValueError(f"unknown topk_mode {cfg.topk_mode!r} "
-                         "(expected 'block', 'sort', or 'approx')")
+    # Mode strings are validated by MatcherConfig.__post_init__.
     block_r = cfg.nms_radius if cfg.topk_mode in ("block", "approx") else None
     return select_topk_keypoints(scores, mask, cfg.max_keypoints,
                                  cfg.score_threshold, margin,

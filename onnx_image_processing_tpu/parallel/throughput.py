@@ -92,6 +92,8 @@ def stream_map_chunked(fn_batched: Callable, pairs: Iterable, chunk: int,
 
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
 
     def chunks():
         buf = []

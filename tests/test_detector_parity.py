@@ -178,14 +178,13 @@ def test_topk_approx_mode_plumbing():
     np.testing.assert_array_equal(np.asarray(k_blk), np.asarray(k_apx))
     np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_apx))
 
-    # Unknown topk_mode must raise at the pipeline level.
+    # Unknown topk_mode must raise at config construction (covers every
+    # pipeline path, incl. the fused front-end's selector).
     import pytest as _pytest
 
     from onnx_image_processing_tpu.core import MatcherConfig
-    from onnx_image_processing_tpu.models.shi_tomasi_family import (
-        shi_tomasi_angle_sparse_bad_sinkhorn_match)
 
-    img = jnp.asarray(rng.uniform(0, 255, (1, 1, 96, 128)).astype(np.float32))
-    bad = MatcherConfig(max_keypoints=16, topk_mode="blok", use_pallas=False)
     with _pytest.raises(ValueError, match="unknown topk_mode"):
-        shi_tomasi_angle_sparse_bad_sinkhorn_match(img, img, bad)
+        MatcherConfig(max_keypoints=16, topk_mode="blok", use_pallas=False)
+    with _pytest.raises(ValueError, match="unknown topk_mode"):
+        MatcherConfig().with_(topk_mode="blok")

@@ -581,28 +581,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.device == "tpu":
-        run, one = _run_tpu_draw, _one_tpu_draw
+        # Keep the real backend (the compiled Mosaic path is the thing under
+        # test) and enable the persistent cache so repeat runs are cheap.
         from benchmarks.timing import setup_cache
 
-        setup_cache()  # persistent compile cache: repeat runs are cheap
-        rng = np.random.default_rng(args.seed)
-        failures = 0
-        for i in range(args.iters):
-            draw = one(rng, i)
-            errs = run(draw)
-            status = "ok" if not errs else "FAIL"
-            print(f"[{status}] draw {i}: {draw}", flush=True)
-            for e in errs:
-                print(f"       {e}")
-            failures += bool(errs)
-        print(f"{args.iters - failures}/{args.iters} draws passed")
-        return 1 if failures else 0
-
-    # CPU modes: pin the host backend before jax is first imported (the draw
-    # runners import jax lazily, so this is early enough).
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
-    if args.ties:
+        setup_cache()
+        run, one = _run_tpu_draw, _one_tpu_draw
+    elif args.ties:
         run, one = _run_ties_draw, _one_ties_draw
     elif args.akaze:
         run, one = _run_akaze_reference_draw, _one_akaze_draw
@@ -612,6 +597,10 @@ def main(argv=None) -> int:
         run, one = _run_reference_draw, _one_draw
     else:
         run, one = _run_draw, _one_draw
+    if args.device != "tpu":
+        # CPU modes: pin the host backend before jax is first imported (the
+        # draw runners import jax lazily, so this is early enough).
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     rng = np.random.default_rng(args.seed)
     failures = 0
     for i in range(args.iters):
