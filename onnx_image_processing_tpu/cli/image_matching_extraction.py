@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--max-matches", type=int, default=None,
                    help="override pipeline max matches")
+    p.add_argument("--topk-mode", choices=["block", "sort", "approx"],
+                   default=None,
+                   help="keypoint selection: block (default), sort "
+                        "(reference-exact ties), approx (~5x faster "
+                        "selection at 1080p, recall 0.99 — BASELINE.md)")
     p.add_argument("--match-threshold", "-t", type=float, default=None)
     p.add_argument("--no-benchmark", action="store_true")
     add_timing_arg(p)
@@ -52,6 +57,8 @@ def main(argv=None):
         overrides["max_matches"] = args.max_matches
     if args.match_threshold is not None:
         overrides["match_threshold"] = args.match_threshold
+    if args.topk_mode is not None:
+        overrides["topk_mode"] = args.topk_mode
     fn = models.build(args.model, **overrides)
 
     i1, i2 = jnp.asarray(arr1), jnp.asarray(arr2)
