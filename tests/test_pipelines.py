@@ -414,3 +414,25 @@ def test_nondefault_config_parity(kwargs, with_angle):
     diff = np.abs(p[0] - p_e[0][np.ix_(m1, m2)])
     tol = 5e-2 if kwargs["binarize"] and not kwargs["soft_binarize"] else 2e-2
     assert (diff > tol).mean() <= (5e-3 if kwargs["epsilon"] <= 0.05 else 2e-3)
+
+
+def test_uint8_input_bit_identical():
+    """DEPLOYMENT.md rule 1: pipelines accept camera-native uint8 frames with
+    BIT-IDENTICAL results (every entry op opens with astype(float32)), so
+    clients can ship 4x fewer bytes. Pin it for the flagship and the AKAZE
+    matcher (different entry stencils)."""
+    from onnx_image_processing_tpu import models
+
+    rng = np.random.default_rng(5)
+    u8_1 = rng.integers(0, 256, (1, 1, 120, 160)).astype(np.uint8)
+    u8_2 = np.roll(u8_1, 4, axis=3)
+
+    for name in ("shi_tomasi_angle_sparse_bad_sinkhorn",
+                 "akaze_sparse_bad_sinkhorn"):
+        fn = models.build(name, max_keypoints=32, num_pairs=256,
+                          use_pallas=False)
+        out_u8 = fn(jnp.asarray(u8_1), jnp.asarray(u8_2))
+        out_f32 = fn(jnp.asarray(u8_1.astype(np.float32)),
+                     jnp.asarray(u8_2.astype(np.float32)))
+        for a, b in zip(out_u8, out_f32):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
