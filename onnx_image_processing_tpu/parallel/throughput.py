@@ -34,12 +34,13 @@ def vmap_pairs(fn: Callable) -> Callable:
     native stacked-(2B) layout triggers an XLA layout pathology — the NMS
     ``reduce_window_max`` inflates from 36 us (B=1) to ~756 us inside the
     fused B=2 graph, while the same op scales linearly standalone
-    (benchmarks/batch_scaling.py --trace names it; /tmp probe ruled out the
-    op itself). vmapping B single-pair pipelines instead keeps every stage's
-    native layout: 0.52-0.56 ms/pair at B in {2, 4} vs 0.75-0.96 stacked,
-    and B=4 (1,930 pairs/s) beats even B=1 (1,810). At B >= 8 the vmapped
-    graph regresses (VMEM pressure) — for deeper batching run one pair per
-    device over the mesh (`shard_batch`) instead.
+    (benchmarks/batch_scaling.py --trace names it). vmapping B single-pair
+    pipelines instead keeps every stage's B=1-native layout: 0.48-0.56
+    ms/pair at B in {2..7} vs 0.60-0.97 stacked, best at B=6 — 0.478
+    ms/pair, 2,091 pairs/s, +15% over the best single-pair rate. At B >= 8
+    the vmapped graph hits the same reduce_window cliff (traced) — for
+    deeper batching run one pair per device over the mesh (`shard_batch`)
+    instead.
 
     Args:
         fn: callable (img1 (1,1,H,W), img2 (1,1,H,W)) -> pytree.
