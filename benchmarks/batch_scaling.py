@@ -102,7 +102,9 @@ def _step_split(cfg):
         for i in range(a.shape[0]):
             _, _, p = shi_tomasi_angle_sparse_bad_sinkhorn_match(
                 a[i:i + 1], b[i:i + 1], cfg)
-            outs.append(p[0, 0, 0])
+            outs.append(p.sum())  # full-output dependency, identical to
+            # _step_stacked/_step_vmapped — a single-element dependency would
+            # let XLA DCE most of each pair's compute (see those variants).
         tot = jnp.stack(outs).sum()
         eps = tot * 1e-12
         return tot, (a + eps, b + eps)

@@ -36,13 +36,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_PATH = os.environ.get("REFERENCE_PATH", "/root/reference")
 
 
-def _pin_cpu():
-    """Accuracy needs no device speed; ALWAYS pin the CPU backend so this
-    benchmark can run beside a TPU job (the axon tunnel serializes TPU
-    processes — see docs/TESTING.md)."""
+def _cpu_scope():
+    """Context manager pinning the CPU backend for the enclosed VO run only.
+
+    Accuracy needs no device speed, and pinning CPU lets this benchmark run
+    beside a TPU job (the axon tunnel serializes TPU processes — see
+    docs/TESTING.md). Scoped rather than a process-global
+    ``jax.config.update``: tests import these runners into the same pytest
+    process as the TPU hardware tier, and a global pin would silently move
+    later hardware tests onto CPU (where e.g. ``approx_max_k`` falls back to
+    exact and recall pins pass vacuously)."""
     import jax
 
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    return jax.default_device(jax.devices("cpu")[0])
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +202,6 @@ def dir_deg(t_a, t_b):
 def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
                 max_matches=256):
     """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1."""
-    _pin_cpu()
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -207,18 +212,19 @@ def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
 
     h, w = frames[0].shape
     intr = CameraIntrinsics(k[0, 0], k[1, 1], k[0, 2], k[1, 2], w, h)
-    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
-                      max_keypoints=max_keypoints)
 
     rel = []
-    for i in range(len(frames) - 1):
-        a = jnp.asarray(frames[i][None, None])
-        b = jnp.asarray(frames[i + 1][None, None])
-        k1, k2, p = (np.asarray(o) for o in fn(a, b))
-        mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
-                                      max_matches=max_matches)
-        r, t, _ = estimate_pose_ransac(mk1, mk2, intr)
-        rel.append((r, t))
+    with _cpu_scope():
+        fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                          max_keypoints=max_keypoints)
+        for i in range(len(frames) - 1):
+            a = jnp.asarray(frames[i][None, None])
+            b = jnp.asarray(frames[i + 1][None, None])
+            k1, k2, p = (np.asarray(o) for o in fn(a, b))
+            mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
+                                          max_matches=max_matches)
+            r, t, _ = estimate_pose_ransac(mk1, mk2, intr)
+            rel.append((r, t))
     return rel
 
 
@@ -227,7 +233,6 @@ def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
     """In-graph essential-matrix pipeline (+ host recoverPose chirality) —
     app-level accuracy for the essential family (no RANSAC in the loop;
     reference analogue: `sample/visual_odometry.py:95-143`)."""
-    _pin_cpu()
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -237,25 +242,28 @@ def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
 
     h, w = frames[0].shape
     intr = CameraIntrinsics(k[0, 0], k[1, 1], k[0, 2], k[1, 2], w, h)
-    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
-                      max_keypoints=max_keypoints)
-    k_inv = jnp.asarray(np.linalg.inv(k).astype(np.float32))
 
     rel = []
-    for i in range(len(frames) - 1):
-        a = jnp.asarray(frames[i][None, None])
-        b = jnp.asarray(frames[i + 1][None, None])
-        k1, k2, p, e = (np.asarray(o) for o in fn(a, b, k_inv))
-        mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
-                                      max_matches=max_matches)
-        r, t, _ = recover_pose(e, mk1, mk2, intr)
-        rel.append((r, t))
+    with _cpu_scope():
+        fn = models.build(
+            "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
+            max_keypoints=max_keypoints)
+        k_inv = jnp.asarray(np.linalg.inv(k).astype(np.float32))
+        for i in range(len(frames) - 1):
+            a = jnp.asarray(frames[i][None, None])
+            b = jnp.asarray(frames[i + 1][None, None])
+            k1, k2, p, e = (np.asarray(o) for o in fn(a, b, k_inv))
+            mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
+                                          max_matches=max_matches)
+            r, t, _ = recover_pose(e, mk1, mk2, intr)
+            rel.append((r, t))
     return rel
 
 
 def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
                      max_matches=256):
     """Reference torch matcher + (same) host extraction + reference pose path."""
+    import cv2
     import torch
 
     if REFERENCE_PATH not in sys.path:
@@ -292,9 +300,12 @@ def run_vo_reference(frames, k, max_keypoints=512, match_threshold=0.1,
             # (`vo/pose_estimation.py:102` passes E through unchecked); ours
             # scores candidates by chirality-consistent inliers
             # (vo/pose.py). Count the crash as that frame's pose failure.
+            # Only that documented cv2.error is a "reference pose failure" —
+            # anything else (import/shape/API bugs) is a broken harness and
+            # must propagate, not skew the pinned comparison.
             try:
                 r, t, _ = ref_pose(mk1, mk2, intr)
-            except Exception:
+            except cv2.error:
                 r, t = None, None
             rel.append((r, t))
     return rel

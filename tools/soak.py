@@ -535,30 +535,42 @@ def _run_tpu_draw(draw: dict) -> list[str]:
             jnp.asarray(img1), jnp.asarray(img2),
             cfg.with_(use_pallas=False)))
 
-    sets = {}
+    k = draw["max_keypoints"]
+    common = {}
+    # Per-image TPU/CPU row-index maps over the COMMON keypoint subset.
+    # TPU vs CPU float order can swap a few rank-boundary neighbors; those
+    # keypoints (and only those) are excluded from the P comparison — a
+    # small set difference must never silently skip descriptor/Sinkhorn
+    # validation for the draw (round-3 advisor finding).
     for nm, t, c in (("k1", k1_t, k1_c), ("k2", k2_t, k2_c)):
         s_t = {tuple(v) for v in t[0].tolist()}
         s_c = {tuple(v) for v in c[0].tolist()}
-        sets[nm] = (s_t == s_c)
-        # TPU vs CPU float order can swap rank-boundary neighbors; allow a
-        # few, never a systematic set divergence.
         if len(s_t ^ s_c) > 4:
             errors.append(f"{nm}: TPU/CPU keypoint sets differ "
                           f"({len(s_t ^ s_c)} symmetric difference)")
-    if all(sets.values()):
-        k = draw["max_keypoints"]
-        inv1 = {tuple(v): i for i, v in enumerate(k1_c[0].tolist())}
-        inv2 = {tuple(v): i for i, v in enumerate(k2_c[0].tolist())}
-        idx1 = np.array([inv1[tuple(v)] for v in k1_t[0].tolist()] + [k])
-        idx2 = np.array([inv2[tuple(v)] for v in k2_t[0].tolist()] + [k])
-        diff = np.abs(p_t[0] - p_c[0][np.ix_(idx1, idx2)])
+        inv_t = {tuple(v): i for i, v in enumerate(t[0].tolist())}
+        inv_c = {tuple(v): i for i, v in enumerate(c[0].tolist())}
+        shared = sorted(s_t & s_c)
+        # Dustbin row/col (index k) always compares.
+        common[nm] = (np.array([inv_t[v] for v in shared] + [k]),
+                      np.array([inv_c[v] for v in shared] + [k]))
+    if not errors:
+        it1, ic1 = common["k1"]
+        it2, ic2 = common["k2"]
+        n_swapped = 2 * (k + 1) - len(it1) - len(it2)
+        diff = np.abs(p_t[0][np.ix_(it1, it2)] - p_c[0][np.ix_(ic1, ic2)])
         # Hard-binarized bits may flip at threshold ties -> rare O(1) P moves.
         hard = draw["binarize"] and not draw["soft_binarize"]
         tol, max_frac = (0.5, 2e-3) if hard else (2e-2, 1e-3)
+        # Swapped keypoints change a few cost rows/cols, and Sinkhorn's
+        # normalization spreads that over every entry — allow proportionally
+        # more outliers when the sets differ (rows themselves are excluded).
+        max_frac += 2e-3 * n_swapped
         frac = (diff > tol).mean()
         if frac > max_frac:
             errors.append(f"P mismatch: max={diff.max():.3f} "
-                          f"frac>{tol}={frac:.2e}")
+                          f"frac>{tol}={frac:.2e} (allowed {max_frac:.2e}, "
+                          f"{n_swapped} rank-boundary swaps excluded)")
     return errors
 
 
