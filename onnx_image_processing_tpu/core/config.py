@@ -147,6 +147,13 @@ class MatcherConfig:
     # SAMPLER backend (where the kernel wins and TPU defaults to it).
     fused_detect: bool = False
 
+    # Selection frontend backend: "auto" routes the NMS + block-reduce stage
+    # through the fused Pallas kernel (kernels/select_frontend.py) whenever
+    # the descriptor path is on Pallas (use_pallas semantics), "pallas"/"xla"
+    # force it either way. Orthogonal to use_pallas so the two kernels can be
+    # measured and deployed independently.
+    select_frontend: str = "auto"
+
     def __post_init__(self):
         # Validate here (not in one selector helper) so every pipeline path —
         # including the fused front-end's _select_premasked, which would
@@ -155,6 +162,10 @@ class MatcherConfig:
         if self.topk_mode not in ("block", "sort", "approx"):
             raise ValueError(f"unknown topk_mode {self.topk_mode!r} "
                              "(expected 'block', 'sort', or 'approx')")
+        if self.select_frontend not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"unknown select_frontend {self.select_frontend!r} "
+                "(expected 'auto', 'pallas', or 'xla')")
 
     def with_(self, **kwargs) -> "MatcherConfig":
         """Replace fields. Flat sub-config keys are accepted with their prefix:

@@ -317,6 +317,15 @@ def _sample_kernel_resident(
 _VMEM_RESIDENT_MAX_BYTES = 4 * 1024 * 1024
 
 
+# NOTE (round-4 negative result): folding vmap's pair axis into this
+# kernel's native batch/grid via jax.custom_batching.custom_vmap — the trick
+# that pays for the select frontend — was implemented and measured SLOWER
+# here (B=12 flagship: one fused 2,740 us call + a 112 us layout-transposing
+# copy on the padded image operand vs 12 sequential 222 us calls + 146 us of
+# loop/slice overhead; e2e 0.504 -> 0.547 ms/pair). The per-pair calls
+# already amortize their DMA inside the grid, and XLA's layout choice for
+# the folded 24-image edge-pad fusion forces the extra copy. Left unfolded
+# on purpose; see docs/KERNELS.md.
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "r_max", "groups", "bilinear", "tile", "interpret",

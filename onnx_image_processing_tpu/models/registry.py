@@ -105,7 +105,7 @@ def build(name: str, cfg: MatcherConfig | None = None, **overrides) -> Callable:
 
 
 def build_batched(name: str, cfg: MatcherConfig | None = None,
-                  **overrides) -> Callable:
+                  chunk: int | None = 6, **overrides) -> Callable:
     """`build`, composed for multi-pair single-chip THROUGHPUT serving.
 
     Returns a jitted callable over (B, 1, H, W) image batches that runs B
@@ -113,15 +113,19 @@ def build_batched(name: str, cfg: MatcherConfig | None = None,
     stacked (2B)-image batch. Measured on v5e (BASELINE.md batch-scaling):
     the stacked layout triggers an XLA layout pathology in the fused
     multi-pair graph (NMS reduce_window 36 -> 756 us at B=2), while this
-    composition keeps every stage's B=1-native layout — 0.478 ms/pair at
-    B=6 (2,091 pairs/s) vs 0.604-0.966 stacked. Results are identical to
-    the stacked call (tests/test_parallel.py::test_vmap_pairs_matches_stacked).
-    Best at B <= ~6; for deeper batching scale one pair per device
-    (`parallel.shard_batch`).
+    composition keeps every stage's B=1-native layout. With the fused Pallas
+    select frontend (round 4) the vmapped rate is flat ~0.47-0.48 ms/pair at
+    B in {6, 8} (~2,100 pairs/s); batches beyond ``chunk`` (default 6) run as
+    sequential chunk-sized sub-batches via ``lax.map``, which holds that rate
+    at any depth (B >= 12 monolithic graphs measurably degrade in the
+    detect-stage fusions). Results are identical to the stacked call
+    (tests/test_parallel.py::test_vmap_pairs_matches_stacked); ``chunk=None``
+    restores the monolithic vmap. For multi-chip scaling compose with
+    `parallel.shard_batch` (one chunked stream per device).
     """
     from ..parallel import vmap_pairs
 
-    return jax.jit(vmap_pairs(build(name, cfg, **overrides)))
+    return jax.jit(vmap_pairs(build(name, cfg, **overrides), chunk=chunk))
 
 
 def compile_model(name: str, height: int, width: int, batch: int = 1,

@@ -27,8 +27,10 @@ from ..core.config import MatcherConfig
 from ..ops import (
     shi_tomasi_score,
     angle_estimation,
+    angle_moments,
     nms_maxpool,
     select_topk_keypoints,
+    nms_select_topk,
     load_bad_params,
     dense_bad,
     sparse_bad,
@@ -47,8 +49,6 @@ def _resolve_border_margin(cfg: MatcherConfig, sparse: bool) -> int:
 
 
 def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
-    scores = scores_b1hw[:, 0]
-    mask = nms_maxpool(scores, cfg.nms_radius)
     # topk_mode="block" (default) sorts per-(r+1)^2 block maxima instead of
     # H*W — exact for the continuous-score detectors used here except at
     # same-block score ties, where the reference keeps every tied copy;
@@ -56,11 +56,18 @@ def _select_keypoints(scores_b1hw: jax.Array, cfg: MatcherConfig, margin: int):
     # "approx" additionally swaps the final sort for lax.approx_max_k
     # (recall 0.95 — measured 5x faster at 1080p scale, see ops/keypoints.py).
     # Mode strings are validated by MatcherConfig.__post_init__.
-    block_r = cfg.nms_radius if cfg.topk_mode in ("block", "approx") else None
-    return select_topk_keypoints(scores, mask, cfg.max_keypoints,
-                                 cfg.score_threshold, margin,
-                                 nms_radius=block_r,
-                                 approx=cfg.topk_mode == "approx")
+    # On TPU the NMS + masking + block reduction runs as one fused Pallas
+    # pass (kernels/select_frontend.py, bit-identical to the XLA path).
+    # cfg.select_frontend overrides per-stage; "auto" follows cfg.use_pallas
+    # (None -> platform default), so TPU-traced code on a CPU mesh
+    # (use_pallas=False) stays off the kernel.
+    use_pallas = {"auto": cfg.use_pallas, "pallas": True,
+                  "xla": False}[cfg.select_frontend]
+    return nms_select_topk(scores_b1hw[:, 0], cfg.max_keypoints,
+                           cfg.score_threshold, margin,
+                           nms_radius=cfg.nms_radius,
+                           topk_mode=cfg.topk_mode,
+                           use_pallas=use_pallas)
 
 
 def _use_fused_detect(cfg: MatcherConfig) -> bool:
@@ -251,14 +258,19 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                           use_pallas=cfg.use_pallas,
                           integer_image=cfg.integer_image)
         return kpts, desc
+    scores = shi_tomasi_score(both, block_size=cfg.block_size)
     if with_angle:
-        scores, angles = shi_tomasi_with_angle(both, cfg)
+        # Moments instead of the dense angle map: atan2 runs per sampled
+        # keypoint inside sparse_bad (bit-identical — atan2 commutes with
+        # the nearest-neighbor gather) and the full-map atan2 disappears.
+        orientation_mm = angle_moments(both, patch_size=cfg.patch_size,
+                                       sigma=cfg.sigma)
     else:
-        scores = shi_tomasi_score(both, block_size=cfg.block_size)
-        angles = None
+        orientation_mm = None
     kpts, _ = _select_keypoints(scores, cfg, margin)
     desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
-                      orientation=angles, binarize=cfg.binarize,
+                      orientation=None, orientation_mm=orientation_mm,
+                      binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,

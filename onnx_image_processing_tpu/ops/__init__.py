@@ -9,8 +9,14 @@ from .shi_tomasi import shi_tomasi_score
 from .fast import fast_score
 from .dog import dog_responses, dog_score
 from .akaze import nonlinear_diffusion, hessian_score, akaze_detect
-from .orientation import angle_estimation, angle_estimation_multiscale
-from .keypoints import nms_maxpool, select_topk_keypoints, refine_keypoints_subpixel
+from .orientation import (angle_estimation, angle_moments,
+                          angle_estimation_multiscale)
+from .keypoints import (
+    nms_maxpool,
+    select_topk_keypoints,
+    nms_select_topk,
+    refine_keypoints_subpixel,
+)
 from .bad import (
     BADParams,
     load_bad_params,
@@ -47,9 +53,11 @@ __all__ = [
     "hessian_score",
     "akaze_detect",
     "angle_estimation",
+    "angle_moments",
     "angle_estimation_multiscale",
     "nms_maxpool",
     "select_topk_keypoints",
+    "nms_select_topk",
     "refine_keypoints_subpixel",
     "BADParams",
     "load_bad_params",

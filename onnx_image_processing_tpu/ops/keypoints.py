@@ -7,22 +7,130 @@ with (-1, -1) and zero scores (`keypoint_utils.py:104-117`).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from .filters import maxpool2d_same
+from ..kernels import select_frontend
+
+
+def _chunked_top_k(vals: jax.Array, k: int, c: int):
+    """Exact top-k as a two-level chunk merge: top-k per chunk of n/c, then
+    top-k over the c*k survivors. Exact INCLUDING the lowest-index tie rule:
+    each chunk's top-k is a superset of its intersection with the global
+    top-k (the global set has only k members), per-chunk ties come out in
+    index order, and the merge concatenates chunks in index order, so equal
+    values are still selected lowest-linear-index first. Padding (to a chunk
+    multiple) appends zeros at indices >= n, which sort after every real
+    element of equal value for the same reason.
+
+    Why: ``lax.top_k`` on TPU is a deep bitonic sort over the full row; two
+    shallow sorts move the same bytes through far fewer passes. Measured
+    (v5e): (2, 57600) k=512 366.7 -> 108.4 us (3.4x) at c=16, bit-exact;
+    break-even by (24, 19200) where n/k is too small — hence the policy in
+    :func:`_top_k`.
+    """
+    b, n = vals.shape
+    nc = -(-n // c)
+    if nc * c != n:
+        vals = jnp.pad(vals, ((0, 0), (0, nc * c - n)))
+    v1, i1 = jax.lax.top_k(vals.reshape(b * c, nc), min(k, nc))
+    base = (jnp.arange(c, dtype=i1.dtype) * nc)[None, :, None]
+    gidx = (i1.reshape(b, c, -1) + base).reshape(b, -1)
+    v2, i2 = jax.lax.top_k(v1.reshape(b, -1), k)
+    return v2, jnp.take_along_axis(gidx, i2, axis=1)
 
 
 def _top_k(vals: jax.Array, k: int, approx: bool):
-    """Exact ``lax.top_k`` or, opted in, TPU-binned ``lax.approx_max_k``
+    """Exact top-k or, opted in, TPU-binned ``lax.approx_max_k``
     (recall_target 0.95; exact fallback on backends without the TPU
-    PartialReduce op)."""
-    if approx:
-        return jax.lax.approx_max_k(vals, k, recall_target=0.95,
-                                    aggregate_to_topk=True)
-    return jax.lax.top_k(vals, k)
+    PartialReduce op).
+
+    The exact path auto-selects the chunked two-level merge
+    (:func:`_chunked_top_k`, bit-exact) when the row is long relative to k —
+    n >= 64k, with chunks of >= 4k — which is where the single deep sort
+    loses (3.4x at 1080p block-grid scale); at smaller n/k (480p block
+    grids, measured break-even or worse) the plain ``lax.top_k`` stays.
+
+    Rank discipline: a ``custom_vmap`` rule collapses any vmap batching back
+    to rank 2 before the selection runs. XLA's TopkRewriter only rewrites
+    RANK-2 sort patterns into the fast PartialReduce custom call; left rank-3
+    by vmap, ``lax.top_k`` lowers to a full variadic stable sort — measured
+    807 vs 209 us on (12, 2, 10240) k=512 (v5e), exactly the `sort.5` that
+    dominated the vmapped multi-pair graphs (BASELINE.md round 4)."""
+    return _top_k_rank2(int(k), bool(approx))(vals)
+
+
+@functools.lru_cache(maxsize=None)
+def _top_k_rank2(k: int, approx: bool):
+    @jax.custom_batching.custom_vmap
+    def select(vals):
+        if approx:
+            return tuple(jax.lax.approx_max_k(vals, k, recall_target=0.95,
+                                              aggregate_to_topk=True))
+        n = vals.shape[-1]
+        if n >= 64 * k:
+            c = 1
+            while n // (2 * c) >= 4 * k and c < 32:
+                c *= 2
+            if c > 1:
+                return _chunked_top_k(vals, k, c)
+        return tuple(jax.lax.top_k(vals, k))
+
+    @select.def_vmap
+    def _rule(axis_size, in_batched, vals):  # noqa: ANN001
+        lead = vals.shape[:-1]
+        tv, ti = select(vals.reshape(-1, vals.shape[-1]))
+        return (tv.reshape(*lead, k), ti.reshape(*lead, k)), (True, True)
+
+    return select
+
+
+def _use_pallas_default() -> bool:
+    """Pallas select kernel on TPU-like default devices, XLA path on CPU."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform != "cpu"
+
+
+def _block_reduce_xla(masked: jax.Array, bs: int, w: int):
+    """XLA block reduction: per-(bs x bs) block max + raster-first argmin.
+
+    ``masked`` is the NMS/border/threshold-masked (B, H, W) map. Returns
+    ``(block_max (B, Hb, Wb), block_idx (B, Hb, Wb) int32)``; the argmin is
+    the minimum linear index among the block's maximal elements (matches
+    lax.top_k's lowest-index tie rule). This is the jnp oracle the fused
+    Pallas kernel (`kernels/select_frontend.py`) is bit-identical to.
+    """
+    b, h, wd = masked.shape
+    hp, wp = -(-h // bs) * bs, -(-wd // bs) * bs
+    if (hp, wp) != (h, wd):
+        padded = jnp.pad(masked, ((0, 0), (0, hp - h), (0, wp - wd)))
+    else:
+        padded = masked
+    win = (1, bs, bs)
+    block_max = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max, win, win, "VALID")  # (B, Hb, Wb)
+    lin = (jnp.arange(hp, dtype=jnp.int32)[:, None] * w
+           + jnp.arange(wp, dtype=jnp.int32)[None, :])[None]
+    up = jnp.repeat(jnp.repeat(block_max, bs, axis=1), bs, axis=2)
+    cand = jnp.where(padded == up, lin, jnp.int32(2**31 - 1))
+    block_idx = jax.lax.reduce_window(
+        cand, jnp.int32(2**31 - 1), jax.lax.min, win, win, "VALID")
+    return block_max, block_idx
+
+
+def _decode_topk(topk_scores: jax.Array, topk_idx: jax.Array, w: int):
+    """Shared tail: linear index -> (y, x), invalid slots -> (-1, -1)/0."""
+    y = (topk_idx // w).astype(jnp.float32)
+    x = (topk_idx % w).astype(jnp.float32)
+    kpts = jnp.stack([y, x], axis=-1)
+    valid = topk_scores > 0
+    kpts = jnp.where(valid[..., None], kpts, -1.0)
+    return kpts, jnp.where(valid, topk_scores, 0.0)
 
 
 @partial(jax.jit, static_argnames=("nms_radius",))
@@ -112,21 +220,7 @@ def select_topk_keypoints(
         if (hp // bs) * (wp // bs) < max_keypoints:
             use_blocks = False  # tiny map: fewer blocks than requested slots
     if use_blocks:
-        if (hp, wp) != (h, w):
-            padded = jnp.pad(masked, ((0, 0), (0, hp - h), (0, wp - w)))
-        else:
-            padded = masked
-        win = (1, bs, bs)
-        block_max = jax.lax.reduce_window(
-            padded, -jnp.inf, jax.lax.max, win, win, "VALID")  # (B, Hb, Wb)
-        # Raster-first argmax inside each block: min linear index among the
-        # block's maximal elements (matches lax.top_k's lowest-index tie rule).
-        lin = (jnp.arange(hp, dtype=jnp.int32)[:, None] * w
-               + jnp.arange(wp, dtype=jnp.int32)[None, :])[None]
-        up = jnp.repeat(jnp.repeat(block_max, bs, axis=1), bs, axis=2)
-        cand = jnp.where(padded == up, lin, jnp.int32(2**31 - 1))
-        block_idx = jax.lax.reduce_window(
-            cand, jnp.int32(2**31 - 1), jax.lax.min, win, win, "VALID")
+        block_max, block_idx = _block_reduce_xla(masked, bs, w)
         flat_scores = block_max.reshape(b, -1)
         flat_index = block_idx.reshape(b, -1)
         topk_scores, topk_block = _top_k(flat_scores, max_keypoints, approx)
@@ -134,15 +228,80 @@ def select_topk_keypoints(
     else:
         flat = masked.reshape(b, h * w)
         topk_scores, topk_idx = _top_k(flat, max_keypoints, approx)
+    return _decode_topk(topk_scores, topk_idx, w)
 
-    y = (topk_idx // w).astype(jnp.float32)
-    x = (topk_idx % w).astype(jnp.float32)
-    kpts = jnp.stack([y, x], axis=-1)
 
-    valid = topk_scores > 0
-    kpts = jnp.where(valid[..., None], kpts, -1.0)
-    topk_scores = jnp.where(valid, topk_scores, 0.0)
-    return kpts, topk_scores
+@partial(jax.jit, static_argnames=("max_keypoints", "score_threshold",
+                                   "border_margin", "nms_radius", "topk_mode",
+                                   "use_pallas", "interpret"))
+def nms_select_topk(
+    scores: jax.Array,
+    max_keypoints: int,
+    score_threshold: float = 0.0,
+    border_margin: int = 0,
+    nms_radius: int = 3,
+    topk_mode: str = "block",
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused NMS + top-k keypoint selection from a raw score map.
+
+    The one-call form of ``nms_maxpool`` + ``select_topk_keypoints`` used by
+    every pipeline. In block/approx mode on TPU the whole selection front —
+    NMS local max, keep/border/threshold masking, per-(r+1)^2 block max and
+    raster-first argmin — runs as ONE Pallas pass over the score map
+    (`kernels/select_frontend.py`), replacing the three XLA ``reduce_window``
+    ops whose layout pathology inflated 36 -> 756+ us inside fused multi-pair
+    graphs and cost 311 us/frame at 1080p (BASELINE.md round 3). The kernel's
+    block grids are bit-identical to the XLA path, so the shared top-k /
+    decode tail below keeps outputs bit-exact across backends.
+
+    Args:
+        scores: (B, H, W) raw detector scores.
+        max_keypoints: K, static output size.
+        score_threshold / border_margin / nms_radius: as in
+            :func:`select_topk_keypoints`.
+        topk_mode: "block" (default), "sort" (reference-exact flat top-k, no
+            block reduction — stays on the XLA path), or "approx"
+            (block reduction + ``lax.approx_max_k``).
+        use_pallas: force the Pallas (True) or XLA (False) selection front;
+            None picks by the default device platform (TPU -> Pallas).
+        interpret: run the kernel in interpreter mode (CPU testing).
+
+    Returns:
+        keypoints (B, K, 2) float (y, x); scores (B, K).
+    """
+    b, h, w = scores.shape
+    use_blocks = topk_mode in ("block", "approx") and nms_radius >= 1
+    approx = topk_mode == "approx"
+    if use_blocks:
+        bs = nms_radius + 1
+        hp, wp = -(-h // bs) * bs, -(-w // bs) * bs
+        if (hp // bs) * (wp // bs) < max_keypoints:
+            use_blocks = False
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_blocks and use_pallas and select_frontend.supports(h, w,
+                                                              nms_radius):
+        # Top-k runs directly on the kernel's lane/stripe-padded grid (pad
+        # slots carry score 0 = masked-out; the visible keypoint set is
+        # bit-identical to the sliced path) — slicing to (Hb, Wb) first
+        # costs a full relayout pass in fused graphs.
+        block_max, block_idx = select_frontend.nms_block_reduce_padded(
+            scores, nms_radius, score_threshold, border_margin,
+            interpret=interpret)
+        topk_scores, topk_block = _top_k(block_max.reshape(b, -1),
+                                         max_keypoints, approx)
+        topk_idx = jnp.take_along_axis(block_idx.reshape(b, -1), topk_block,
+                                       axis=1)
+        return _decode_topk(topk_scores, topk_idx, w)
+
+    mask = nms_maxpool(scores, nms_radius)
+    return select_topk_keypoints(scores, mask, max_keypoints, score_threshold,
+                                 border_margin,
+                                 nms_radius=nms_radius if use_blocks else None,
+                                 approx=approx)
 
 
 def refine_keypoints_subpixel(scores: jax.Array, keypoints: jax.Array,

@@ -33,6 +33,22 @@ def angle_estimation(image: jax.Array, patch_size: int = 15, sigma: float = 2.5)
     Returns:
         (B, 1, H, W) orientation map in radians [-pi, pi]; 0 = +x, pi/2 = +y (down).
     """
+    m10, m01 = angle_moments(image, patch_size=patch_size, sigma=sigma)
+    return jnp.arctan2(m01[:, 0], m10[:, 0])[:, None]
+
+
+@partial(jax.jit, static_argnames=("patch_size", "sigma"))
+def angle_moments(image: jax.Array, patch_size: int = 15,
+                  sigma: float = 2.5) -> tuple[jax.Array, jax.Array]:
+    """The (m10, m01) Gaussian-weighted moment maps behind
+    :func:`angle_estimation`, each (B, 1, H, W).
+
+    Exposed separately because sparse pipelines only need angles AT
+    keypoints: sampling these maps (nearest) and applying atan2 per keypoint
+    is bit-identical to sampling the dense angle map — atan2 commutes with
+    the gather — while skipping a full-resolution atan2 (measured 366 us at
+    B=12 pairs, 480x640, the largest single non-sampler op in the batched
+    flagship graph)."""
     if patch_size % 2 == 0:
         raise ValueError(f"patch_size must be odd, got {patch_size}")
     if sigma <= 0:
@@ -46,7 +62,7 @@ def angle_estimation(image: jax.Array, patch_size: int = 15, sigma: float = 2.5)
     xp = pad2d(x, half, half, mode="zero")
     m10 = conv1d_w(conv1d_h(xp, g), tg)   # x-weighted moment
     m01 = conv1d_w(conv1d_h(xp, tg), g)   # y-weighted moment
-    return jnp.arctan2(m01, m10)[:, None]
+    return m10[:, None], m01[:, None]
 
 
 @partial(jax.jit, static_argnames=("num_scales", "patch_size", "sigma", "pooling_factor"))

@@ -124,7 +124,10 @@ def sinkhorn_match(
 
     u0 = jnp.zeros_like(log_mu)
     v0 = jnp.zeros_like(log_nu)
-    u, v = jax.lax.fori_loop(0, iterations, body, (u0, v0))
+    # unroll=4: identical op sequence (bit-exact), 4x fewer while-loop trips
+    # — the loop bookkeeping was costing ~25% of the matcher's Sinkhorn time
+    # in batched graphs (while.44 in the round-4 trace).
+    u, v = jax.lax.fori_loop(0, iterations, body, (u0, v0), unroll=4)
 
     log_p = log_scores + u[:, :, None] + v[:, None, :]
     return jnp.exp(log_p)

@@ -25,7 +25,7 @@ from typing import Callable, Iterable, Iterator
 import jax
 
 
-def vmap_pairs(fn: Callable) -> Callable:
+def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
     """Multi-pair single-chip throughput composition: vmap ``fn`` (a
     single-pair matcher of (1, 1, H, W) images) over a leading pair axis.
 
@@ -44,6 +44,13 @@ def vmap_pairs(fn: Callable) -> Callable:
 
     Args:
         fn: callable (img1 (1,1,H,W), img2 (1,1,H,W)) -> pytree.
+        chunk: optional sub-batch width. When B > chunk the vmap runs inside
+            a sequential ``lax.map`` over B/chunk sub-batches (B must divide),
+            so arbitrarily deep batches execute the chunk-sized graph at its
+            measured flat rate instead of one giant vmapped graph — beyond
+            B~8 the detect-stage stencil fusions lose ~5-10%/pair efficiency
+            in the monolithic graph (round-4 trace; the round-3 reduce_window
+            cliff itself is gone, killed by kernels/select_frontend.py).
 
     Returns:
         callable (img1 (B,1,H,W), img2 (B,1,H,W)) -> pytree with a leading
@@ -52,6 +59,16 @@ def vmap_pairs(fn: Callable) -> Callable:
     vm = jax.vmap(lambda a, b: fn(a[None], b[None]))
 
     def batched(img1, img2):
+        b = img1.shape[0]
+        if chunk is not None and b > chunk:
+            if b % chunk != 0:
+                raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+            nc = b // chunk
+            c1 = img1.reshape((nc, chunk) + img1.shape[1:])
+            c2 = img2.reshape((nc, chunk) + img2.shape[1:])
+            out = jax.lax.map(lambda ab: vm(ab[0], ab[1]), (c1, c2))
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((b,) + x.shape[3:]), out)
         out = vm(img1, img2)
         # fn's leaves carry their own leading batch-1 axis; squeeze it so the
         # result looks exactly like the stacked-batch call: (B, ...) leaves.

@@ -319,3 +319,92 @@ def test_akaze_detect_pallas_flag_consistency():
     np.testing.assert_allclose(s_p, s_j, atol=1e-3)
     kpts = s_j[0, 0] > 1e-3
     np.testing.assert_allclose(o_p[0, 0][kpts], o_j[0, 0][kpts], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fused NMS + block-select frontend (kernels/select_frontend.py)
+# ---------------------------------------------------------------------------
+
+def _select_oracle(scores, r, thr, margin):
+    """The XLA selection front the fused kernel replaces, composed verbatim
+    from ops/keypoints.py (nms_maxpool -> masking -> _block_reduce_xla)."""
+    from onnx_image_processing_tpu.ops import keypoints as kp
+
+    b, h, w = scores.shape
+    masked = scores * kp.nms_maxpool(scores, r)
+    if margin > 0:
+        yv = (jnp.arange(h) >= margin) & (jnp.arange(h) < h - margin)
+        xv = (jnp.arange(w) >= margin) & (jnp.arange(w) < w - margin)
+        masked = masked * (yv[:, None] & xv[None, :]).astype(masked.dtype)
+    masked = jnp.where(masked > thr, masked, 0.0)
+    return kp._block_reduce_xla(masked, r + 1, w)
+
+
+@pytest.mark.parametrize("h,w,r,margin,thr,b", [
+    (480, 640, 3, 16, 0.01, 1),   # flagship shape
+    (64, 80, 1, 4, 0.0, 2),       # minimum radius
+    (123, 217, 3, 8, 0.05, 2),    # odd, non-multiple-of-block sizes
+    (96, 128, 7, 10, 0.0, 1),     # maximum supported radius
+    (200, 200, 2, 0, 0.0, 3),     # no border margin, batch 3
+])
+def test_select_frontend_interpret_bitexact(h, w, r, margin, thr, b):
+    """Interpret-mode fused kernel vs the XLA reduce_window path: the block
+    maxima and raster-first argmin grids must be BIT-identical (the top-k /
+    decode tail is shared, so grid equality is output equality)."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+
+    assert sf.supports(h, w, r)
+    rng = np.random.default_rng(h * 7 + w)
+    s = jnp.asarray(rng.random((b, h, w), dtype=np.float32))
+    bm_x, bi_x = _select_oracle(s, r, thr, margin)
+    bm_p, bi_p = sf.nms_block_reduce(s, r, thr, margin, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bm_x), np.asarray(bm_p))
+    np.testing.assert_array_equal(np.asarray(bi_x), np.asarray(bi_p))
+
+
+def test_select_frontend_ties_bitexact():
+    """Quantized score maps with massive in-block ties: the raster-first
+    (min-linear-index) tie rule must match the XLA path exactly."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+
+    rng = np.random.default_rng(77)
+    s = jnp.asarray((rng.integers(0, 5, (2, 120, 160)) / 4.0)
+                    .astype(np.float32))
+    bm_x, bi_x = _select_oracle(s, 3, 0.1, 8)
+    bm_p, bi_p = sf.nms_block_reduce(s, 3, 0.1, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bm_x), np.asarray(bm_p))
+    np.testing.assert_array_equal(np.asarray(bi_x), np.asarray(bi_p))
+
+
+def test_nms_select_topk_pallas_flag_consistency():
+    """nms_select_topk(use_pallas=True, interpret) == use_pallas=False end to
+    end, including the tiny-map fallback and sort/approx mode routing."""
+    from onnx_image_processing_tpu.ops import nms_select_topk
+
+    rng = np.random.default_rng(101)
+    s = jnp.asarray(rng.random((2, 123, 217), dtype=np.float32))
+    for mode in ("block", "sort"):
+        k_x, s_x = nms_select_topk(s, 64, 0.01, 8, nms_radius=3,
+                                   topk_mode=mode, use_pallas=False)
+        k_p, s_p = nms_select_topk(s, 64, 0.01, 8, nms_radius=3,
+                                   topk_mode=mode, use_pallas=True,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(k_x), np.asarray(k_p))
+        np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
+    # Tiny map: fewer blocks than slots -> both backends take the flat path.
+    tiny = jnp.asarray(rng.random((1, 16, 24), dtype=np.float32))
+    k_x, _ = nms_select_topk(tiny, 64, 0.0, 2, nms_radius=3, use_pallas=False)
+    k_p, _ = nms_select_topk(tiny, 64, 0.0, 2, nms_radius=3, use_pallas=True,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(k_x), np.asarray(k_p))
+
+
+def test_select_frontend_supports_guard():
+    """supports() rejects radii outside the halo/geometry envelope and maps
+    whose raster indices would lose f32 exactness."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+
+    assert not sf.supports(480, 640, 0)
+    assert not sf.supports(480, 640, 8)
+    assert sf.supports(2160, 3840, 3)        # 4K still f32-exact
+    assert not sf.supports(4096, 8192, 7)    # beyond the 2^24 envelope

@@ -207,3 +207,32 @@ def test_stream_map_chunked_matches_sequential():
         for g, w_ in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w_)[0],
                                        atol=1e-5)
+
+
+def test_vmap_pairs_chunked_matches_monolithic():
+    """chunk=N (the deep-batch composition: lax.map over chunk-sized vmapped
+    sub-batches) must reproduce the monolithic vmap exactly — same keypoints,
+    same P — including the chunk-boundary reshape plumbing."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import vmap_pairs
+
+    rng = np.random.default_rng(17)
+    h, w, b = 96, 128, 4
+    img1 = jnp.asarray(rng.uniform(0, 255, (b, 1, h, w)).astype(np.float32))
+    img2 = jnp.asarray(jnp.roll(img1, 5, axis=3))
+
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=32, num_pairs=256, use_pallas=False)
+    mono = vmap_pairs(fn)(img1, img2)
+    chunked = vmap_pairs(fn, chunk=2)(img1, img2)
+    for m, c in zip(mono, chunked):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(c))
+
+    # B <= chunk short-circuits to the monolithic path.
+    small = vmap_pairs(fn, chunk=8)(img1, img2)
+    for m, c in zip(mono, small):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(c))
+
+    # Indivisible batches fail loudly, not silently truncate.
+    with pytest.raises(ValueError, match="not divisible"):
+        vmap_pairs(fn, chunk=3)(img1, img2)

@@ -264,3 +264,55 @@ def test_approx_topk_recall_on_hardware():
     apx = {tuple(v) for v in np.asarray(k_apx)[0].tolist() if v[0] >= 0}
     recall = len(exact & apx) / max(len(exact), 1)
     assert recall >= 0.90, f"approx top-k recall {recall:.3f} < 0.90"
+
+
+@pytest.mark.parametrize("h,w,r,margin,thr", [
+    (480, 640, 3, 16, 0.01),     # flagship shape
+    (1080, 1920, 5, 7, 0.0),     # hi-res serving shape
+    (123, 217, 3, 8, 0.05),      # odd, non-multiple-of-block sizes
+])
+def test_compiled_select_frontend_bitexact(h, w, r, margin, thr):
+    """Compiled Mosaic select frontend vs the CPU XLA reduce_window path: the
+    block-maxima and argmin grids must be BIT-identical (incl. the 3-plane
+    bf16 selection-matmul exactness that interpret mode cannot prove)."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+    from onnx_image_processing_tpu.ops import keypoints as kp
+
+    rng = np.random.default_rng(h + w)
+    scores = rng.random((1, h, w), dtype=np.float32)
+    bm_t, bi_t = (np.asarray(o) for o in
+                  sf.nms_block_reduce(jnp.asarray(scores), r, thr, margin))
+    with jax.default_device(_cpu()):
+        s = jnp.asarray(scores)
+        masked = s * kp.nms_maxpool(s, r)
+        yv = (jnp.arange(h) >= margin) & (jnp.arange(h) < h - margin)
+        xv = (jnp.arange(w) >= margin) & (jnp.arange(w) < w - margin)
+        masked = masked * (yv[:, None] & xv[None, :]).astype(masked.dtype)
+        masked = jnp.where(masked > thr, masked, 0.0)
+        bm_c, bi_c = (np.asarray(o) for o in
+                      kp._block_reduce_xla(masked, r + 1, w))
+    np.testing.assert_array_equal(bm_t, bm_c)
+    np.testing.assert_array_equal(bi_t, bi_c)
+
+
+def test_compiled_select_frontend_ties_bitexact():
+    """Quantized (massively tied) maps through the compiled kernel: the
+    raster-first tie rule must survive Mosaic compilation bit-for-bit."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+    from onnx_image_processing_tpu.ops import keypoints as kp
+
+    rng = np.random.default_rng(7)
+    scores = (rng.integers(0, 5, (2, 120, 160)) / 4.0).astype(np.float32)
+    bm_t, bi_t = (np.asarray(o) for o in
+                  sf.nms_block_reduce(jnp.asarray(scores), 3, 0.1, 8))
+    with jax.default_device(_cpu()):
+        s = jnp.asarray(scores)
+        masked = s * kp.nms_maxpool(s, 3)
+        yv = (jnp.arange(120) >= 8) & (jnp.arange(120) < 112)
+        xv = (jnp.arange(160) >= 8) & (jnp.arange(160) < 152)
+        masked = masked * (yv[:, None] & xv[None, :]).astype(masked.dtype)
+        masked = jnp.where(masked > 0.1, masked, 0.0)
+        bm_c, bi_c = (np.asarray(o) for o in
+                      kp._block_reduce_xla(masked, 4, 160))
+    np.testing.assert_array_equal(bm_t, bm_c)
+    np.testing.assert_array_equal(bi_t, bi_c)
