@@ -147,6 +147,18 @@ class MatcherConfig:
     # SAMPLER backend (where the kernel wins and TPU defaults to it).
     fused_detect: bool = False
 
+    # In-graph essential-matrix robustness (essential_family pipelines only):
+    # 0 reproduces the reference's single soft-weighted LS solve
+    # (`shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix.py:184-271`);
+    # >0 adds that many fixed Cauchy-IRLS reweighting iterations on Sampson
+    # error (geometry/essential_matrix.py) — a TPU-native extension the
+    # reference's opset-14 graph cannot express.
+    essential_irls_iters: int = 0
+    # IRLS Cauchy scale as a pixel tolerance: tau = (px / fx)^2 in normalized
+    # coordinates, computed from the runtime k_inv (camera-aware, like a
+    # RANSAC threshold).
+    essential_irls_px: float = 2.0
+
     # Selection frontend backend: "auto" routes the NMS + block-reduce stage
     # through the fused Pallas kernel (kernels/select_frontend.py) whenever
     # the descriptor path is on Pallas (use_pallas semantics), "pallas"/"xla"

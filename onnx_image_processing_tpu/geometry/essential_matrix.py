@@ -328,6 +328,30 @@ def bidirectional_topk_weights(p_core: jax.Array, top_k: int = 3,
     return p_core * mask.astype(p_core.dtype)
 
 
+def sampson_error_matrix(e: jax.Array, pts1_n: jax.Array, pts2_n: jax.Array,
+                         eps: float = 1e-12) -> jax.Array:
+    """All-pairs first-order geometric (Sampson) error for ``x2^T E x1 = 0``.
+
+    Args:
+        e: (3, 3) essential matrix in the standard convention.
+        pts1_n / pts2_n: (N, 2) / (M, 2) normalized (x, y) points.
+
+    Returns:
+        (N, M) Sampson errors: (x2_j^T E x1_i)^2 / (|l2_i|^2 + |l1_j|^2)
+        with l2 = E x1 (epipolar line in image 2) and l1 = E^T x2.
+    """
+    n, m = pts1_n.shape[0], pts2_n.shape[0]
+    f1 = jnp.concatenate([pts1_n, jnp.ones((n, 1), pts1_n.dtype)], axis=-1)
+    f2 = jnp.concatenate([pts2_n, jnp.ones((m, 1), pts2_n.dtype)], axis=-1)
+    l2 = jnp.matmul(f1, e.T, precision=jax.lax.Precision.HIGHEST)   # (N, 3)
+    l1 = jnp.matmul(f2, e, precision=jax.lax.Precision.HIGHEST)     # (M, 3)
+    numer = jnp.matmul(l2, f2.T,
+                       precision=jax.lax.Precision.HIGHEST) ** 2    # (N, M)
+    denom = ((l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None]
+             + (l1[:, 0] ** 2 + l1[:, 1] ** 2)[None, :])
+    return numer / (denom + eps)
+
+
 def essential_from_weighted_points(
     weights: jax.Array,
     pts1_n: jax.Array,
@@ -335,6 +359,8 @@ def essential_from_weighted_points(
     n_iter: int = 30,
     n_iter_manifold: int = 10,
     method: str = "eigh",
+    irls_iters: int = 0,
+    irls_tau: jax.Array | float | None = None,
 ) -> jax.Array:
     """Core weighted 8-point solve from normalized (x, y) point sets.
 
@@ -350,6 +376,19 @@ def essential_from_weighted_points(
             "power" reproduces the reference's fixed-iteration scheme AND its
             denormalization formula T2^T E_raw T1
             (`essential_matrix_estimator.py:390-392`) for differential parity.
+        irls_iters: >0 adds fixed-iteration robust reweighting (IRLS): after
+            each solve, every correspondence's weight is scaled by a Cauchy
+            influence 1 / (1 + s / (c * sigma)) of its Sampson error s, with
+            sigma the current weighted-mean error (c = 0.25), and the system
+            is re-solved. This is the TPU-native robustness extension the
+            reference's opset-14 graph cannot express (its in-graph solve is
+            a single soft-weighted LS fit of ALL Sinkhorn weights,
+            `shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix.py:184-271`,
+            which ambiguous scenes break — 23.1 deg mean rotation RPE vs
+            0.56 for RANSAC, BASELINE.md round 3). Fixed trip count, no
+            data-dependent control flow — jit/export-safe. Not available
+            with method="power" (that mode exists only for differential
+            parity with the reference).
 
     Returns:
         (3, 3) essential matrix.
@@ -357,37 +396,62 @@ def essential_from_weighted_points(
     n = pts1_n.shape[0]
     m = pts2_n.shape[0]
 
-    w1 = weights.sum(axis=1)
-    w2 = weights.sum(axis=0)
-    t1, s1, c1 = hartley_normalization(pts1_n, w1)
-    t2, s2, c2 = hartley_normalization(pts2_n, w2)
-    pts1_hn = (pts1_n - c1) * s1
-    pts2_hn = (pts2_n - c2) * s2
+    def solve(w):
+        w1 = w.sum(axis=1)
+        w2 = w.sum(axis=0)
+        t1, s1, c1 = hartley_normalization(pts1_n, w1)
+        t2, s2, c2 = hartley_normalization(pts2_n, w2)
+        pts1_hn = (pts1_n - c1) * s1
+        pts2_hn = (pts2_n - c2) * s2
 
-    f1 = jnp.concatenate([pts1_hn, jnp.ones((n, 1), pts1_hn.dtype)], axis=-1)
-    f2 = jnp.concatenate([pts2_hn, jnp.ones((m, 1), pts2_hn.dtype)], axis=-1)
-    f1_flat = (f1[:, :, None] * f1[:, None, :]).reshape(n, 9)
-    f2_flat = (f2[:, :, None] * f2[:, None, :]).reshape(m, 9)
+        h1 = jnp.concatenate([pts1_hn, jnp.ones((n, 1), pts1_hn.dtype)],
+                             axis=-1)
+        h2 = jnp.concatenate([pts2_hn, jnp.ones((m, 1), pts2_hn.dtype)],
+                             axis=-1)
+        f1_flat = (h1[:, :, None] * h1[:, None, :]).reshape(n, 9)
+        f2_flat = (h2[:, :, None] * h2[:, None, :]).reshape(m, 9)
 
-    # HIGHEST: bf16-truncated operands here bias the 9x9 normal matrix.
-    wf2 = jnp.matmul(weights, f2_flat,
-                     precision=jax.lax.Precision.HIGHEST)   # (N, 9) MXU GEMM
-    m_flat = jnp.matmul(f1_flat.T, wf2,
-                        precision=jax.lax.Precision.HIGHEST)  # (9, 9)
-    m_mat = m_flat.reshape(3, 3, 3, 3).transpose(0, 2, 1, 3).reshape(9, 9)
+        # HIGHEST: bf16-truncated operands here bias the 9x9 normal matrix.
+        wf2 = jnp.matmul(w, f2_flat,
+                         precision=jax.lax.Precision.HIGHEST)  # (N, 9) GEMM
+        m_flat = jnp.matmul(f1_flat.T, wf2,
+                            precision=jax.lax.Precision.HIGHEST)  # (9, 9)
+        m_mat = m_flat.reshape(3, 3, 3, 3).transpose(0, 2, 1, 3).reshape(9, 9)
 
-    if method == "power":
-        e_raw = min_eigvec9(m_mat, n_iter, method="power").reshape(3, 3)
-        e_denorm = _mm(_mm(t2.T, e_raw), t1)
-        return project_onto_essential_manifold(e_denorm, n_iter_manifold,
-                                               method="power")
-    # e_raw satisfies x1_hn^T e_raw x2_hn = 0 (design rows are f1 (x) f2), so
-    # the standard-convention (x2^T E x1 = 0) denormalization is
-    # (T1^T e_raw T2)^T.
-    e_raw = min_eigvec9(m_mat, n_iter, method=method).reshape(3, 3)
-    e_denorm = _mm(_mm(t1.T, e_raw), t2).T
-    return project_onto_essential_manifold(
-        e_denorm, method="exact3" if method == "fast" else "svd")
+        if method == "power":
+            e_raw = min_eigvec9(m_mat, n_iter, method="power").reshape(3, 3)
+            e_denorm = _mm(_mm(t2.T, e_raw), t1)
+            return project_onto_essential_manifold(e_denorm, n_iter_manifold,
+                                                   method="power")
+        # e_raw satisfies x1_hn^T e_raw x2_hn = 0 (design rows are
+        # f1 (x) f2), so the standard-convention (x2^T E x1 = 0)
+        # denormalization is (T1^T e_raw T2)^T.
+        e_raw = min_eigvec9(m_mat, n_iter, method=method).reshape(3, 3)
+        e_denorm = _mm(_mm(t1.T, e_raw), t2).T
+        return project_onto_essential_manifold(
+            e_denorm, method="exact3" if method == "fast" else "svd")
+
+    e = solve(weights)
+    if irls_iters:
+        if method == "power":
+            raise ValueError("irls_iters requires method 'eigh' or 'fast' "
+                             "(method='power' is the reference-parity mode)")
+
+        def body(_, e_cur):
+            s = sampson_error_matrix(e_cur, pts1_n, pts2_n)
+            if irls_tau is not None:
+                tau = jnp.asarray(irls_tau, jnp.float32)
+            else:
+                # Scale-free fallback: weighted mean Sampson error. Weak
+                # against gross outliers (they inflate the scale); prefer an
+                # explicit camera-aware tau = (px_tol / f)^2.
+                tau = (0.25 * (weights * s).sum()
+                       / (weights.sum() + jnp.float32(1e-12)))
+            infl = 1.0 / (1.0 + s / (tau + jnp.float32(1e-18)))
+            return solve(weights * infl)
+
+        e = jax.lax.fori_loop(0, irls_iters, body, e)
+    return e
 
 
 @partial(jax.jit, static_argnames=("image_shape", "top_k", "n_iter",
@@ -448,6 +512,8 @@ def estimate_essential_from_keypoints(
     n_iter: int = 30,
     n_iter_manifold: int = 10,
     method: str = "eigh",
+    irls_iters: int = 0,
+    irls_px: float = 2.0,
 ) -> jax.Array:
     """E from actual (y, x) keypoints and their Sinkhorn matrix (batch-free).
 
@@ -475,6 +541,13 @@ def estimate_essential_from_keypoints(
                         axis=-1)  # (K, 3) homogeneous (x, y, 1)
         return _mm(xy1, k_inv.T)[:, :2]
 
+    # Camera-aware IRLS scale: a px_tol-pixel reprojection tolerance in
+    # K^-1-normalized coordinates is (px_tol / f)^2 of squared Sampson error
+    # (k_inv[0, 0] = 1/fx); computed from the RUNTIME intrinsics so one
+    # compiled graph serves any camera.
+    tau = (irls_px * k_inv[0, 0]) ** 2 if irls_iters else None
     return essential_from_weighted_points(weights, normalize(keypoints1),
                                           normalize(keypoints2),
-                                          n_iter, n_iter_manifold, method)
+                                          n_iter, n_iter_manifold, method,
+                                          irls_iters=irls_iters,
+                                          irls_tau=tau)

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from ..core.config import MatcherConfig
 from ..geometry import estimate_essential_from_keypoints
 from ..ops import (
+    angle_moments,
     load_bad_params,
+    shi_tomasi_score,
     sparse_bad,
     sinkhorn_match,
 )
@@ -54,6 +56,15 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
         kpts, kscores, orientation_mm = _fused_detect_select(both, cfg,
                                                              margin, True)
         angles = None
+    elif detect_fn is shi_tomasi_with_angle:
+        # Same moments-not-angles routing as the flagship matcher: atan2 runs
+        # per sampled keypoint inside sparse_bad (bit-identical, no dense
+        # atan2 pass — see models/shi_tomasi_family._sparse_detect_describe).
+        scores = shi_tomasi_score(both, block_size=cfg.block_size)
+        orientation_mm = angle_moments(both, patch_size=cfg.patch_size,
+                                       sigma=cfg.sigma)
+        angles = None
+        kpts, kscores = _select_keypoints(scores, cfg, margin)
     else:
         scores, angles = detect_fn(both, cfg)
         kpts, kscores = _select_keypoints(scores, cfg, margin)
@@ -77,7 +88,9 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
         probs[0], kpts1[0], kpts2[0],
         valid1=ks1[0] > 0, valid2=ks2[0] > 0,
         k_inv=jnp.asarray(k_inv), top_k=_TOP_K,
-        n_iter=_N_ITER, n_iter_manifold=_N_ITER_MANIFOLD)
+        n_iter=_N_ITER, n_iter_manifold=_N_ITER_MANIFOLD,
+        irls_iters=cfg.essential_irls_iters,
+        irls_px=cfg.essential_irls_px)
     return kpts1, kpts2, probs, e
 
 

@@ -77,6 +77,35 @@ def _sym_args_image_head(cfg: MatcherConfig):
     return (jax.ShapeDtypeStruct((b, 1, h, w), jnp.float32),)
 
 
+def _sym_args_matcher(cfg: MatcherConfig):
+    """Symbolic (1, 1, H, W) pair for the two-image composite matchers
+    (round-4; one artifact serves every resolution, K static — reference
+    dynamic-axes parity,
+    `onnx_export/export_shi_tomasi_angle_sparse_bad_sinkhorn.py:185-248`).
+
+    K (max_keypoints) and the per-pair descriptor structure stay
+    compile-time (that part of the round-3 rationale stands: top-k counts
+    and block tilings are static structure on TPU), but H/W are symbolic.
+    The scope carries the one constraint the trace needs: the NMS block grid
+    ceil(H/bs)*ceil(W/bs) must hold at least K candidates (written in the
+    exact ceil-div form the trace compares, so the symbolic solver can
+    decide ``lax.top_k``'s k <= n check)."""
+    bs = cfg.nms_radius + 1
+    k = cfg.max_keypoints
+    scope = jax.export.SymbolicScope([
+        "h >= 64", "w >= 64",
+        f"floordiv(-h, {bs})*floordiv(-w, {bs}) >= {k}",
+    ])
+    h, w = jax.export.symbolic_shape("h, w", scope=scope)
+    img = jax.ShapeDtypeStruct((1, 1, h, w), jnp.float32)
+    return (img, img)
+
+
+def _sym_args_matcher_k_inv(cfg: MatcherConfig):
+    return _sym_args_matcher(cfg) + (jax.ShapeDtypeStruct((3, 3),
+                                                          jnp.float32),)
+
+
 #: pipelines exportable with symbolic dimensions -> arg-spec builder
 POLYMORPHIC_EXPORTS = {
     "sinkhorn": _sym_args_sinkhorn,
@@ -87,6 +116,12 @@ POLYMORPHIC_EXPORTS = {
     "dog": _sym_args_image_head,
     "dog_with_score": _sym_args_image_head,
     "bad": _sym_args_image_head,
+    "shi_tomasi_sparse_bad_sinkhorn": _sym_args_matcher,
+    "shi_tomasi_angle_sparse_bad_sinkhorn": _sym_args_matcher,
+    "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters": _sym_args_matcher,
+    "shi_tomasi_angle_sparse_bad_sinkhorn_extraction": _sym_args_matcher,
+    "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix":
+        _sym_args_matcher_k_inv,
 }
 
 

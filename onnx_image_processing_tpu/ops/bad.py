@@ -372,8 +372,12 @@ def sparse_bad(
     ps = _PATCH
 
     valid = (keypoints[:, :, 0] >= 0).astype(jnp.float32)  # (B, K)
-    ky = jnp.clip(keypoints[:, :, 0], 0.0, float(h - 1))
-    kx = jnp.clip(keypoints[:, :, 1], 0.0, float(w - 1))
+    # jnp.asarray (not float()): H/W may be symbolic dims under a
+    # shape-polymorphic jax.export trace.
+    ky = jnp.clip(keypoints[:, :, 0], 0.0,
+                  jnp.asarray(h - 1, jnp.float32))
+    kx = jnp.clip(keypoints[:, :, 1], 0.0,
+                  jnp.asarray(w - 1, jnp.float32))
 
     layout = sample_layout(params)
     idx1 = jnp.asarray(layout.idx1)
@@ -400,8 +404,10 @@ def sparse_bad(
     else:
         dy, dx = off_y_j, off_x_j
 
-    pos_y = jnp.clip(ky[..., None] + dy, 0.0, float(h - 1))
-    pos_x = jnp.clip(kx[..., None] + dx, 0.0, float(w - 1))
+    pos_y = jnp.clip(ky[..., None] + dy, 0.0,
+                     jnp.asarray(h - 1, jnp.float32))
+    pos_x = jnp.clip(kx[..., None] + dx, 0.0,
+                     jnp.asarray(w - 1, jnp.float32))
 
     # One image window per keypoint; origins quantized for TPU DMA tiling
     # (rows to 8, columns to 128 — kernels/sparse_sampler.py geometry) and

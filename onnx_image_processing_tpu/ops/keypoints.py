@@ -72,7 +72,9 @@ def _top_k_rank2(k: int, approx: bool):
             return tuple(jax.lax.approx_max_k(vals, k, recall_target=0.95,
                                               aggregate_to_topk=True))
         n = vals.shape[-1]
-        if n >= 64 * k:
+        # isinstance: symbolic n (shape-polymorphic export) takes the plain
+        # path — chunk counts are compile-time structure.
+        if isinstance(n, int) and n >= 64 * k:
             c = 1
             while n // (2 * c) >= 4 * k and c < 32:
                 c *= 2
@@ -217,7 +219,11 @@ def select_topk_keypoints(
     if use_blocks:
         bs = nms_radius + 1
         hp, wp = -(-h // bs) * bs, -(-w // bs) * bs
-        if (hp // bs) * (wp // bs) < max_keypoints:
+        n_blocks = (hp // bs) * (wp // bs)
+        # isinstance: symbolic H/W (shape-polymorphic export) skip the
+        # tiny-map check — the caller's symbolic scope owns the "enough
+        # blocks" constraint (models/serialize.py).
+        if isinstance(n_blocks, int) and n_blocks < max_keypoints:
             use_blocks = False  # tiny map: fewer blocks than requested slots
     if use_blocks:
         block_max, block_idx = _block_reduce_xla(masked, bs, w)
@@ -277,7 +283,11 @@ def nms_select_topk(
     if use_blocks:
         bs = nms_radius + 1
         hp, wp = -(-h // bs) * bs, -(-w // bs) * bs
-        if (hp // bs) * (wp // bs) < max_keypoints:
+        n_blocks = (hp // bs) * (wp // bs)
+        # isinstance: symbolic H/W (shape-polymorphic export) skip the
+        # tiny-map check — the caller's symbolic scope owns the "enough
+        # blocks" constraint (models/serialize.py).
+        if isinstance(n_blocks, int) and n_blocks < max_keypoints:
             use_blocks = False
 
     if use_pallas is None:

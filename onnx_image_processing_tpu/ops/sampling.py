@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 
 def _clamp_coords(y: jax.Array, x: jax.Array, h: int, w: int):
-    return jnp.clip(y, 0.0, float(h - 1)), jnp.clip(x, 0.0, float(w - 1))
+    # jnp.asarray (not float()): H/W may be symbolic dims under a
+    # shape-polymorphic jax.export trace.
+    return (jnp.clip(y, 0.0, jnp.asarray(h - 1, jnp.float32)),
+            jnp.clip(x, 0.0, jnp.asarray(w - 1, jnp.float32)))
 
 
 def sample_nearest(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:

@@ -93,13 +93,25 @@ def _poly_args(name, cfg, scale, rng):
     if name == "voxel_downsampling":
         return (jnp.asarray(rng.uniform(0, 2, (100 * scale, 3)).astype(np.float32)),
                 jnp.asarray(np.float32(0.1)))
+    if models.get(name).n_images == 2:
+        # matchers: shapes must satisfy ceil(H/6)*ceil(W/6) >= K (=64 here)
+        h, w = 48 + 16 * scale, 56 + 24 * scale
+        i1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+        i2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+        if models.get(name).takes_k_inv:
+            k_inv = np.linalg.inv(np.array(
+                [[100., 0, w / 2], [0, 100., h / 2], [0, 0, 1]], np.float32))
+            return (i1, i2, jnp.asarray(k_inv.astype(np.float32)))
+        return (i1, i2)
     # image heads
     h, w = 32 + 16 * scale, 32 + 24 * scale
     return (jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32)),)
 
 
-@pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",
-                                  "voxel_downsampling", "shi_tomasi", "bad"])
+@pytest.mark.parametrize("name", [
+    "sinkhorn", "essential_matrix_estimator", "voxel_downsampling",
+    "shi_tomasi", "bad", "shi_tomasi_angle_sparse_bad_sinkhorn",
+    "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"])
 def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
     """One shape-polymorphic artifact must serve several concrete shapes
     bit-exactly (reference dynamic-axes parity: the E estimator's dynamic N/M
@@ -128,7 +140,7 @@ def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
 
 def test_polymorphic_export_unsupported_name_raises():
     with pytest.raises(ValueError, match="no shape-polymorphic export"):
-        models.export_model_polymorphic("shi_tomasi_angle_sparse_bad_sinkhorn")
+        models.export_model_polymorphic("akaze_sparse_bad_sinkhorn")
 
 
 @pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",

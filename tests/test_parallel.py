@@ -236,3 +236,40 @@ def test_vmap_pairs_chunked_matches_monolithic():
     # Indivisible batches fail loudly, not silently truncate.
     with pytest.raises(ValueError, match="not divisible"):
         vmap_pairs(fn, chunk=3)(img1, img2)
+
+
+def test_composed_fleet_unit_shard_map_zero_collectives(mesh):
+    """The composed deployment unit — vmap_pairs (multi-pair per device)
+    UNDER shard_batch — must (a) equal the unsharded call exactly and (b)
+    contain zero collectives in its HLO (round-3 pinned this for the
+    one-pair-per-device graph only; the '~2,000 pairs/s x chips' headline
+    composes BOTH)."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import vmap_pairs
+
+    per_dev = 2
+    fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
+                      max_keypoints=16, num_pairs=256, use_pallas=False)
+    batched = vmap_pairs(fn, chunk=per_dev)
+
+    rng = np.random.default_rng(23)
+    bt = mesh.devices.size * per_dev
+    i1 = rng.uniform(0, 255, (bt, 1, 48, 64)).astype(np.float32)
+    i2 = rng.uniform(0, 255, (bt, 1, 48, 64)).astype(np.float32)
+
+    from onnx_image_processing_tpu.parallel import device_put_batch
+    composed = shard_batch(batched, mesh)
+    i1_s = device_put_batch(i1, mesh)
+    i2_s = device_put_batch(i2, mesh)
+    out_sharded = composed(i1_s, i2_s)
+    out_local = batched(jnp.asarray(i1), jnp.asarray(i2))
+    for a, b_ in zip(out_sharded, out_local):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+    spec = jax.sharding.PartitionSpec("batch")
+    jitted = jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
+                                   out_specs=spec, check_vma=False))
+    hlo = jitted.lower(i1_s, i2_s).compile().as_text()
+    for coll in ("collective-permute", "all-gather", "all-to-all",
+                 "all-reduce"):
+        assert coll not in hlo, f"{coll} found in composed shard_map HLO"

@@ -475,10 +475,20 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
     # Production-and-above shapes (VERDICT r2 item 5): up to 1080p, with odd
     # jitter so no draw is tile-aligned. Images over the sampler's 4 MB VMEM
     # residency budget engage the windowed-DMA fallback naturally.
-    h = int(rng.choice([480, 560, 720, 904, 1080])) + int(rng.integers(0, 9))
-    w = int(rng.choice([640, 960, 1280, 1609, 1920])) + int(rng.integers(0, 9))
+    # Families: the flagship dominates the draw budget; AKAZE (bounded to
+    # <=720p — the 4-scale FED ladder at 1080p is minutes of compile per odd
+    # shape) and the essential-family graph make every compiled production
+    # pipeline part of the fuzz space (VERDICT r3 item 6).
+    family = str(rng.choice(["flagship", "flagship", "akaze", "essential"]))
+    if family == "akaze":
+        h = int(rng.choice([480, 560, 720])) + int(rng.integers(0, 9))
+        w = int(rng.choice([640, 960, 1280])) + int(rng.integers(0, 9))
+    else:
+        h = int(rng.choice([480, 560, 720, 904, 1080])) + int(rng.integers(0, 9))
+        w = int(rng.choice([640, 960, 1280, 1609, 1920])) + int(rng.integers(0, 9))
     return {
         "idx": idx,
+        "family": family,
         "h": h,
         "w": w,
         "max_keypoints": int(rng.choice([128, 256, 512, 1024])),
@@ -488,6 +498,9 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
         "soft_binarize": bool(rng.integers(0, 2)),
         "with_angle": bool(rng.integers(0, 2)),
         "nms_radius": int(rng.choice([3, 5])),
+        # Exact selection modes only — "approx" is characterized by its own
+        # recall-based mode (--approx-e2e), not set equality.
+        "topk_mode": str(rng.choice(["block", "block", "sort"])),
         "seed": int(rng.integers(0, 2**31)),
     }
 
@@ -503,6 +516,10 @@ def _run_tpu_draw(draw: dict) -> list[str]:
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.akaze_family import (
+        akaze_sparse_bad_sinkhorn_match)
+    from onnx_image_processing_tpu.models.essential_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_essential_match)
     from onnx_image_processing_tpu.models.shi_tomasi_family import (
         shi_tomasi_angle_sparse_bad_sinkhorn_match,
         shi_tomasi_sparse_bad_sinkhorn_match)
@@ -513,6 +530,7 @@ def _run_tpu_draw(draw: dict) -> list[str]:
     errors: list[str] = []
     rng = np.random.default_rng(draw["seed"])
     h, w = draw["h"], draw["w"]
+    family = draw.get("family", "flagship")
     # Textured base + noise: realistic score landscape, measure-zero ties.
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
@@ -524,16 +542,39 @@ def _run_tpu_draw(draw: dict) -> list[str]:
     cfg = MatcherConfig(
         max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
         sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
-        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"])
-    match = (shi_tomasi_angle_sparse_bad_sinkhorn_match if draw["with_angle"]
-             else shi_tomasi_sparse_bad_sinkhorn_match)
+        soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"],
+        topk_mode=draw.get("topk_mode", "block"))
+    e_t = e_c = None
+    if family == "akaze":
+        def run(cfg_):
+            return akaze_sparse_bad_sinkhorn_match(
+                jnp.asarray(img1), jnp.asarray(img2), cfg_)
+    elif family == "essential":
+        fx = 0.9 * w
+        k_inv = jnp.asarray(np.linalg.inv(np.array(
+            [[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])).astype(np.float32))
 
-    k1_t, k2_t, p_t = (np.asarray(v) for v in match(
-        jnp.asarray(img1), jnp.asarray(img2), cfg.with_(use_pallas=True)))
+        def run(cfg_):
+            k1, k2, p, e = shi_tomasi_angle_sparse_bad_sinkhorn_essential_match(
+                jnp.asarray(img1), jnp.asarray(img2), k_inv, cfg_)
+            return k1, k2, p, e
+    else:
+        match = (shi_tomasi_angle_sparse_bad_sinkhorn_match
+                 if draw["with_angle"]
+                 else shi_tomasi_sparse_bad_sinkhorn_match)
+
+        def run(cfg_):
+            return match(jnp.asarray(img1), jnp.asarray(img2), cfg_)
+
+    out_t = [np.asarray(v) for v in run(cfg.with_(use_pallas=True))]
     with jax.default_device(jax.devices("cpu")[0]):
-        k1_c, k2_c, p_c = (np.asarray(v) for v in match(
-            jnp.asarray(img1), jnp.asarray(img2),
-            cfg.with_(use_pallas=False)))
+        out_c = [np.asarray(v) for v in run(cfg.with_(use_pallas=False))]
+    if family == "essential":
+        k1_t, k2_t, p_t, e_t = out_t
+        k1_c, k2_c, p_c, e_c = out_c
+    else:
+        k1_t, k2_t, p_t = out_t
+        k1_c, k2_c, p_c = out_c
 
     k = draw["max_keypoints"]
     common = {}
@@ -571,6 +612,118 @@ def _run_tpu_draw(draw: dict) -> list[str]:
             errors.append(f"P mismatch: max={diff.max():.3f} "
                           f"frac>{tol}={frac:.2e} (allowed {max_frac:.2e}, "
                           f"{n_swapped} rank-boundary swaps excluded)")
+        if e_t is not None and n_swapped == 0:
+            # Identical keypoint sets -> the in-graph E must agree up to the
+            # epipolar sign ambiguity and TPU/CPU float-order noise in the
+            # soft-weighted solve. Swapped sets change the weight matrix
+            # itself, so E is only compared on swap-free draws.
+            nt = e_t / max(np.linalg.norm(e_t), 1e-12)
+            nc = e_c / max(np.linalg.norm(e_c), 1e-12)
+            d_e = min(np.abs(nt - nc).max(), np.abs(nt + nc).max())
+            if d_e > 5e-2:
+                errors.append(f"essential-matrix mismatch: {d_e:.2e} "
+                              "(normalized, sign-invariant)")
+    return errors
+
+
+def _one_approx_draw(rng: np.random.Generator, idx: int) -> dict:
+    h = int(rng.choice([720, 1080])) + int(rng.integers(0, 9))
+    w = int(rng.choice([1280, 1920])) + int(rng.integers(0, 9))
+    return {
+        "idx": idx,
+        "h": h,
+        "w": w,
+        "max_keypoints": int(rng.choice([256, 512, 1024])),
+        "num_pairs": 512,
+        "with_angle": bool(rng.integers(0, 2)),
+        "nms_radius": int(rng.choice([3, 5])),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+
+
+def _run_approx_draw(draw: dict) -> list[str]:
+    """End-to-end bound on ``topk_mode='approx'`` (VERDICT r3 item 3): the
+    FULL matcher with approx selection vs exact block selection on the real
+    TPU at hi-res serving shapes. Reports (and pins) what the keypoint-level
+    recall pin could not: MATCH-level recall (mutual-NN set overlap) and
+    aligned-P divergence over the common keypoints. Thresholds: keypoint
+    recall >= 0.90 (the documented mode contract), match recall >= 0.85,
+    P max-abs over common rows <= 0.05."""
+    import jax
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu.core.config import MatcherConfig
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        shi_tomasi_angle_sparse_bad_sinkhorn_match,
+        shi_tomasi_sparse_bad_sinkhorn_match)
+    from onnx_image_processing_tpu.utils.host_postprocess import (
+        extract_matches)
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return ["--device tpu requires a TPU backend"]
+
+    errors: list[str] = []
+    rng = np.random.default_rng(draw["seed"])
+    h, w = draw["h"], draw["w"]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img1 = np.clip(base + rng.normal(0, 3, (h, w)), 0,
+                   255).astype(np.float32)[None, None]
+    img2 = np.clip(np.roll(base, 7, 1) + rng.normal(0, 3, (h, w)), 0,
+                   255).astype(np.float32)[None, None]
+
+    cfg = MatcherConfig(max_keypoints=draw["max_keypoints"],
+                        num_pairs=draw["num_pairs"],
+                        nms_radius=draw["nms_radius"])
+    match = (shi_tomasi_angle_sparse_bad_sinkhorn_match if draw["with_angle"]
+             else shi_tomasi_sparse_bad_sinkhorn_match)
+
+    outs = {}
+    for mode in ("block", "approx"):
+        outs[mode] = [np.asarray(v) for v in match(
+            jnp.asarray(img1), jnp.asarray(img2), cfg.with_(topk_mode=mode))]
+    (k1_e, k2_e, p_e), (k1_a, k2_a, p_a) = outs["block"], outs["approx"]
+
+    # Keypoint recall per image (the existing hardware pin, re-measured).
+    kpt_recalls = []
+    for ke, ka in ((k1_e, k1_a), (k2_e, k2_a)):
+        se = {tuple(v) for v in ke[0].tolist() if v[0] >= 0}
+        sa = {tuple(v) for v in ka[0].tolist() if v[0] >= 0}
+        kpt_recalls.append(len(se & sa) / max(len(se), 1))
+    kpt_recall = min(kpt_recalls)
+
+    # Match-level recall: mutual-NN match sets (as coordinate pairs) must
+    # survive approx selection.
+    mk1_e, mk2_e, _ = extract_matches(p_e, k1_e, k2_e, threshold=0.1,
+                                      max_matches=512)
+    mk1_a, mk2_a, _ = extract_matches(p_a, k1_a, k2_a, threshold=0.1,
+                                      max_matches=512)
+    me = {(tuple(a), tuple(b)) for a, b in zip(mk1_e.tolist(), mk2_e.tolist())}
+    ma = {(tuple(a), tuple(b)) for a, b in zip(mk1_a.tolist(), mk2_a.tolist())}
+    match_recall = len(me & ma) / max(len(me), 1)
+
+    # Aligned-P divergence over the common keypoint rows/cols.
+    idx_maps = []
+    for ke, ka in ((k1_e, k1_a), (k2_e, k2_a)):
+        inv_e = {tuple(v): i for i, v in enumerate(ke[0].tolist())}
+        inv_a = {tuple(v): i for i, v in enumerate(ka[0].tolist())}
+        shared = sorted(set(inv_e) & set(inv_a) - {(-1.0, -1.0)})
+        idx_maps.append((np.array([inv_e[v] for v in shared], np.int64),
+                         np.array([inv_a[v] for v in shared], np.int64)))
+    (ie1, ia1), (ie2, ia2) = idx_maps
+    p_div = float(np.abs(p_e[0][np.ix_(ie1, ie2)]
+                         - p_a[0][np.ix_(ia1, ia2)]).max()) \
+        if len(ie1) and len(ie2) else 0.0
+
+    print(f"       approx e2e: kpt_recall={kpt_recall:.3f} "
+          f"match_recall={match_recall:.3f} n_matches={len(me)} "
+          f"P_div={p_div:.4f}", flush=True)
+    if kpt_recall < 0.90:
+        errors.append(f"approx keypoint recall {kpt_recall:.3f} < 0.90")
+    if match_recall < 0.85:
+        errors.append(f"approx match recall {match_recall:.3f} < 0.85")
+    if p_div > 0.05:
+        errors.append(f"approx aligned-P divergence {p_div:.3f} > 0.05")
     return errors
 
 
@@ -591,6 +744,11 @@ def main(argv=None) -> int:
                     help="probe the block-topk tie divergence on adversarial "
                          "tiled/quantized inputs (block vs sort through the "
                          "full matcher, downstream match-set Jaccard)")
+    ap.add_argument("--approx-e2e", action="store_true",
+                    help="bound topk_mode='approx' END-TO-END on hardware: "
+                         "full matcher approx vs exact-block at 720p/1080p, "
+                         "match-level recall + aligned-P divergence "
+                         "(requires --device tpu)")
     ap.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
                     help="tpu: fuzz the COMPILED Mosaic path on real "
                          "hardware at production-and-above shapes (>=720p "
@@ -598,7 +756,15 @@ def main(argv=None) -> int:
                          "oracle; fewer iters recommended (compile per shape)")
     args = ap.parse_args(argv)
 
-    if args.device == "tpu":
+    if args.approx_e2e:
+        if args.device != "tpu":
+            ap.error("--approx-e2e requires --device tpu (approx_max_k is "
+                     "exact on CPU, the bound would be vacuous)")
+        from benchmarks.timing import setup_cache
+
+        setup_cache()
+        run, one = _run_approx_draw, _one_approx_draw
+    elif args.device == "tpu":
         # Keep the real backend (the compiled Mosaic path is the thing under
         # test) and enable the persistent cache so repeat runs are cheap.
         from benchmarks.timing import setup_cache
