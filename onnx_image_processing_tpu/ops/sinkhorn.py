@@ -122,8 +122,16 @@ def sinkhorn_match(
         v = log_nu - jax.nn.logsumexp(log_scores + u[:, :, None], axis=-2)
         return u, v
 
-    u0 = jnp.zeros_like(log_mu)
-    v0 = jnp.zeros_like(log_nu)
+    # The zero inits ride on a varying anchor (the dustbin corner is
+    # -unused_score/epsilon by construction — always finite — times 0.0 is
+    # exactly 0.0): under shard_map's varying-manual-axes analysis,
+    # constant-initialized carries would type as unvarying while the body
+    # outputs vary, failing check_vma; deriving the inits from the (varying)
+    # cost matrix makes the carry types match with bit-identical numerics,
+    # so shard_batch runs with the soundness check ON.
+    anchor = log_scores[:, -1, -1] * 0.0
+    u0 = jnp.zeros_like(log_mu) + anchor[:, None]
+    v0 = jnp.zeros_like(log_nu) + anchor[:, None]
     # unroll=4: identical op sequence (bit-exact), 4x fewer while-loop trips
     # — the loop bookkeeping was costing ~25% of the matcher's Sinkhorn time
     # in batched graphs (while.44 in the round-4 trace).

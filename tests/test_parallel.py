@@ -174,7 +174,7 @@ def test_shard_map_compiles_with_zero_collectives(mesh):
 
     spec = jax.sharding.PartitionSpec("batch")
     jitted = jax.jit(jax.shard_map(step, mesh=mesh, in_specs=spec,
-                                   out_specs=spec, check_vma=False))
+                                   out_specs=spec))
     hlo = jitted.lower(i1, i2).compile().as_text()
     for coll in ("collective-permute", "all-gather", "all-to-all",
                  "all-reduce"):
@@ -268,7 +268,7 @@ def test_composed_fleet_unit_shard_map_zero_collectives(mesh):
 
     spec = jax.sharding.PartitionSpec("batch")
     jitted = jax.jit(jax.shard_map(batched, mesh=mesh, in_specs=spec,
-                                   out_specs=spec, check_vma=False))
+                                   out_specs=spec))
     hlo = jitted.lower(i1_s, i2_s).compile().as_text()
     for coll in ("collective-permute", "all-gather", "all-to-all",
                  "all-reduce"):

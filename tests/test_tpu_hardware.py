@@ -316,3 +316,19 @@ def test_compiled_select_frontend_ties_bitexact():
                       kp._block_reduce_xla(masked, 4, 160))
     np.testing.assert_array_equal(bm_t, bm_c)
     np.testing.assert_array_equal(bi_t, bi_c)
+
+
+def test_approx_match_level_bound_on_hardware():
+    """topk_mode="approx" bounded END-TO-END (VERDICT r3 item 3): one fixed
+    1080p draw through the full matcher, approx vs exact-block — mutual-NN
+    match recall >= 0.85, keypoint recall >= 0.90, aligned-P divergence over
+    the common keypoints <= 0.30. The broader characterization (20 random
+    720p/1080p draws) runs as `tools/soak.py --approx-e2e --device tpu`;
+    this pins one representative draw in CI."""
+    from tools.soak import _run_approx_draw
+
+    draw = {"idx": 0, "h": 1080, "w": 1920, "max_keypoints": 512,
+            "num_pairs": 512, "with_angle": True, "nms_radius": 5,
+            "seed": 211}
+    errs = _run_approx_draw(draw)
+    assert not errs, errs
