@@ -323,10 +323,17 @@ def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
 
 
 def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
-                          max_matches=256, irls_iters=0):
+                          max_matches=256, irls_iters=0, ransac_hypotheses=0,
+                          gate_inlier_ratio=None):
     """In-graph essential-matrix pipeline (+ host recoverPose chirality) —
-    app-level accuracy for the essential family (no RANSAC in the loop;
-    reference analogue: `sample/visual_odometry.py:95-143`)."""
+    app-level accuracy for the essential family (no HOST RANSAC in the loop;
+    reference analogue: `sample/visual_odometry.py:95-143`).
+    ``ransac_hypotheses`` > 0 switches the solve to the in-graph vectorized
+    RANSAC (essential_ransac_from_candidates) with ``irls_iters`` polish.
+    ``gate_inlier_ratio`` applies the production VO loop's inlier-ratio
+    rejection (`cli/visual_odometry.py`, default 0.5 there) to recoverPose's
+    chirality-consistent count — the same frame gate the host-RANSAC stack
+    gets implicitly from findEssentialMat+recoverPose."""
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -341,7 +348,8 @@ def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
     with _cpu_scope():
         fn = models.build(
             "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix",
-            max_keypoints=max_keypoints, essential_irls_iters=irls_iters)
+            max_keypoints=max_keypoints, essential_irls_iters=irls_iters,
+            essential_ransac_hypotheses=ransac_hypotheses)
         k_inv = jnp.asarray(np.linalg.inv(k).astype(np.float32))
         for i in range(len(frames) - 1):
             a = jnp.asarray(frames[i][None, None])
@@ -349,7 +357,10 @@ def run_vo_ours_ingraph_e(frames, k, max_keypoints=512, match_threshold=0.1,
             k1, k2, p, e = (np.asarray(o) for o in fn(a, b, k_inv))
             mk1, mk2, _ = extract_matches(p, k1, k2, threshold=match_threshold,
                                           max_matches=max_matches)
-            r, t, _ = recover_pose(e, mk1, mk2, intr)
+            r, t, inl = recover_pose(e, mk1, mk2, intr)
+            if (gate_inlier_ratio is not None and r is not None
+                    and inl.sum() < gate_inlier_ratio * max(len(mk1), 1)):
+                r, t = None, None
             rel.append((r, t))
     return rel
 
@@ -493,15 +504,25 @@ def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False,
 
 
 def run_comparison_ingraph_e(n_frames, h, w, max_keypoints, irls_iters=0,
-                             scene="sprite"):
-    """In-graph-E stack vs the RANSAC stack on one shared sequence."""
+                             scene="sprite", ransac_hypotheses=0,
+                             gate_inlier_ratio=None):
+    """In-graph-E stack vs the host-RANSAC stack on one shared sequence."""
     frames, poses, k = make_sequence(n_frames, h, w, scene=scene)
     rec_ransac = evaluate(run_vo_ours(frames, k, max_keypoints), poses,
                           "ours_ransac")
+    label = "ours_ingraph_e"
+    if ransac_hypotheses:
+        label += f"_ransac{ransac_hypotheses}"
+    if irls_iters:
+        label += f"_irls{irls_iters}"
+    if gate_inlier_ratio:
+        label += f"_gate{gate_inlier_ratio}"
     rec_e = evaluate(
         run_vo_ours_ingraph_e(frames, k, max_keypoints,
-                              irls_iters=irls_iters),
-        poses, "ours_ingraph_e" + (f"_irls{irls_iters}" if irls_iters else ""))
+                              irls_iters=irls_iters,
+                              ransac_hypotheses=ransac_hypotheses,
+                              gate_inlier_ratio=gate_inlier_ratio),
+        poses, label)
     return rec_ransac, rec_e
 
 
@@ -521,6 +542,14 @@ def main(argv=None):
     ap.add_argument("--irls", type=int, default=0,
                     help="IRLS reweighting iterations for the in-graph "
                          "essential solve (essential_irls_iters)")
+    ap.add_argument("--ransac", type=int, default=0,
+                    help="in-graph vectorized RANSAC hypothesis count for "
+                         "the essential solve (essential_ransac_hypotheses); "
+                         "--irls then counts polish iterations")
+    ap.add_argument("--gate", type=float, default=None,
+                    help="inlier-ratio frame gate for the in-graph-E stack "
+                         "(the production VO loop's min_inlier_ratio, "
+                         "default 0.5 there)")
     ap.add_argument("--in-graph-e", action="store_true",
                     help="compare the in-graph essential-matrix pipeline "
                          "(+ host recoverPose) against the RANSAC stack "
@@ -530,7 +559,9 @@ def main(argv=None):
     h, w = args.size
     if args.in_graph_e:
         run_comparison_ingraph_e(args.frames, h, w, args.max_keypoints,
-                                 irls_iters=args.irls, scene=args.scene)
+                                 irls_iters=args.irls, scene=args.scene,
+                                 ransac_hypotheses=args.ransac,
+                                 gate_inlier_ratio=args.gate)
         return 0
     rec_ours, rec_ref = run_comparison(args.frames, h, w, args.max_keypoints,
                                        args.skip_reference, scene=args.scene,

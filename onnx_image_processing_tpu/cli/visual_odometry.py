@@ -282,6 +282,15 @@ def parse_args(argv=None):
     p.add_argument("--cy", type=float, default=None)
     p.add_argument("--match-threshold", type=float, default=0.1)
     p.add_argument("--ransac-threshold", type=float, default=1.0)
+    p.add_argument("--essential-ransac", type=int, default=0,
+                   help="in-graph vectorized RANSAC hypothesis count for "
+                        "essential-matrix models (0 = reference's soft "
+                        "weighted LS solve); robust to outlier matches with "
+                        "zero host-side geometry")
+    p.add_argument("--essential-irls", type=int, default=0,
+                   help="fixed-iteration IRLS steps for the in-graph "
+                        "essential solve (with --essential-ransac: polish "
+                        "iterations after the inlier refit)")
     p.add_argument("--max-matches", type=int, default=100)
     p.add_argument("--min-matches", type=int, default=20)
     p.add_argument("--min-inlier-ratio", type=float, default=0.5)
@@ -344,7 +353,9 @@ def main(argv=None):
     spec = models.get(base)
     wrapped = models.with_match_extraction(spec.fn)
     cfg = spec.defaults.with_(max_matches=args.max_matches,
-                              match_threshold=args.match_threshold)
+                              match_threshold=args.match_threshold,
+                              essential_ransac_hypotheses=args.essential_ransac,
+                              essential_irls_iters=args.essential_irls)
     import jax
 
     def fn(*inputs):

@@ -158,6 +158,17 @@ class MatcherConfig:
     # coordinates, computed from the runtime k_inv (camera-aware, like a
     # RANSAC threshold).
     essential_irls_px: float = 2.0
+    # >0 switches the in-graph essential solve to fixed-shape vectorized
+    # RANSAC (geometry/essential_matrix.py:essential_ransac_from_candidates):
+    # that many Gumbel-top-k weighted minimal samples solved in one vmapped
+    # batch, MSAC-scored over the mutual-best candidates, inlier refit +
+    # essential_irls_iters Cauchy polish steps. Unlike IRLS (which descends
+    # from the global soft fit and can entrench a wrong basin on ambiguous
+    # scenes), RANSAC restarts from many minimal samples — RANSAC-grade
+    # robustness with zero host-side geometry, still one static jit graph.
+    essential_ransac_hypotheses: int = 0
+    # RANSAC inlier threshold in pixels (tau = (px / fx)^2, camera-aware).
+    essential_ransac_px: float = 2.0
 
     # Selection frontend backend: "auto" routes the NMS + block-reduce stage
     # through the fused Pallas kernel (kernels/select_frontend.py) whenever

@@ -6,7 +6,10 @@ from .essential_matrix import (
     project_onto_essential_manifold,
     hartley_normalization,
     bidirectional_topk_weights,
+    sampson_error_matched,
     essential_from_weighted_points,
+    essential_from_matched_points,
+    essential_ransac_from_candidates,
     estimate_essential_matrix,
     estimate_essential_from_keypoints,
 )
@@ -16,7 +19,10 @@ __all__ = [
     "project_onto_essential_manifold",
     "hartley_normalization",
     "bidirectional_topk_weights",
+    "sampson_error_matched",
     "essential_from_weighted_points",
+    "essential_from_matched_points",
+    "essential_ransac_from_candidates",
     "estimate_essential_matrix",
     "estimate_essential_from_keypoints",
 ]

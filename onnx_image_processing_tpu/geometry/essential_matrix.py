@@ -352,6 +352,205 @@ def sampson_error_matrix(e: jax.Array, pts1_n: jax.Array, pts2_n: jax.Array,
     return numer / (denom + eps)
 
 
+def sampson_error_matched(e: jax.Array, pts1_n: jax.Array, pts2_n: jax.Array,
+                          eps: float = 1e-12) -> jax.Array:
+    """Per-correspondence Sampson error for matched point PAIRS.
+
+    The diagonal counterpart of :func:`sampson_error_matrix`, batched over
+    leading E axes so one call scores every RANSAC hypothesis.
+
+    Args:
+        e: (..., 3, 3) essential matrices, standard ``x2^T E x1 = 0``.
+        pts1_n / pts2_n: (N, 2) matched normalized (x, y) points (row i of
+            image 1 corresponds to row i of image 2).
+
+    Returns:
+        (..., N) Sampson errors.
+    """
+    n = pts1_n.shape[0]
+    f1 = jnp.concatenate([pts1_n, jnp.ones((n, 1), pts1_n.dtype)], axis=-1)
+    f2 = jnp.concatenate([pts2_n, jnp.ones((n, 1), pts2_n.dtype)], axis=-1)
+    # l2 = E x1 (epipolar line in image 2), l1 = E^T x2.
+    l2 = jnp.einsum("...ab,nb->...na", e, f1,
+                    precision=jax.lax.Precision.HIGHEST)
+    l1 = jnp.einsum("...ab,na->...nb", e, f2,
+                    precision=jax.lax.Precision.HIGHEST)
+    numer = (l2 * f2).sum(axis=-1) ** 2
+    denom = (l2[..., 0] ** 2 + l2[..., 1] ** 2
+             + l1[..., 0] ** 2 + l1[..., 1] ** 2)
+    return numer / (denom + eps)
+
+
+def essential_from_matched_points(
+    weights: jax.Array,
+    pts1_n: jax.Array,
+    pts2_n: jax.Array,
+    method: str = "eigh",
+    project: bool = True,
+) -> jax.Array:
+    """Weighted 8-point solve on 1-1 matched correspondences.
+
+    The matched-pair counterpart of :func:`essential_from_weighted_points`
+    (whose (N, M) soft-weight form mirrors the reference's all-pairs solve,
+    `essential_matrix_estimator.py:351-382`): here row i of ``pts1_n``
+    corresponds to row i of ``pts2_n`` with weight ``weights[i]``, so the
+    design matrix is the explicit (N, 9) Kronecker rows and the normal matrix
+    one tiny GEMM. This is the unit of work the in-graph RANSAC vmaps over
+    hypotheses.
+
+    Args:
+        weights: (N,) per-correspondence weights.
+        pts1_n / pts2_n: (N, 2) normalized (x, y) points.
+        method: "eigh" (exact) or "fast" (unrolled-Cholesky inverse
+            iteration — latency-bound scalar chain, so a vmap over S
+            hypotheses costs the same wall clock as one solve).
+        project: apply the essential-manifold projection. Hypothesis scoring
+            skips it (Sampson error is well-defined for any rank-3 F and the
+            projection's 3x3 eigensolve is the expensive part of the solve).
+
+    Returns:
+        (3, 3) essential matrix, standard ``x2^T E x1 = 0`` convention.
+    """
+    n = pts1_n.shape[0]
+    t1, s1, c1 = hartley_normalization(pts1_n, weights)
+    t2, s2, c2 = hartley_normalization(pts2_n, weights)
+    pts1_hn = (pts1_n - c1) * s1
+    pts2_hn = (pts2_n - c2) * s2
+    h1 = jnp.concatenate([pts1_hn, jnp.ones((n, 1), pts1_hn.dtype)], axis=-1)
+    h2 = jnp.concatenate([pts2_hn, jnp.ones((n, 1), pts2_hn.dtype)], axis=-1)
+    # Design rows kron(h1_i, h2_i) — index (a*3+b) matches the all-pairs
+    # solve's (f1-major, f2-minor) layout, so e_raw satisfies
+    # x1_hn^T e_raw x2_hn = 0 and the same transposed denormalization applies.
+    a = (h1[:, :, None] * h2[:, None, :]).reshape(n, 9)
+    m_mat = jnp.matmul(a.T, weights[:, None] * a,
+                       precision=jax.lax.Precision.HIGHEST)
+    e_raw = min_eigvec9(m_mat, method=method).reshape(3, 3)
+    e_denorm = _mm(_mm(t1.T, e_raw), t2).T
+    if not project:
+        return e_denorm
+    return project_onto_essential_manifold(
+        e_denorm, method="exact3" if method == "fast" else "svd")
+
+
+def essential_ransac_from_candidates(
+    weights: jax.Array,
+    pts1_n: jax.Array,
+    pts2_n: jax.Array,
+    tau: jax.Array | float,
+    hypotheses: int = 128,
+    polish_iters: int = 2,
+    seed: int = 0,
+) -> jax.Array:
+    """Fixed-shape vectorized RANSAC over matched candidate correspondences.
+
+    The TPU-native robust estimator the reference's opset-14 graph cannot
+    express and that IRLS alone cannot match: IRLS descends from the global
+    soft-weighted fit, so when ambiguous matching puts that fit in the wrong
+    basin, reweighting ENTRENCHES it (measured 28 -> 44 deg rotation RPE on
+    the sprite scene, BASELINE.md round 4). RANSAC restarts from many minimal
+    samples instead — and every stage here is static-shape and
+    data-independent in its control flow, so the whole estimator jits,
+    exports, and vmaps:
+
+    1. **Hypothesis sampling** — weighted sampling WITHOUT replacement via the
+       Gumbel-top-k trick: ``argtop_8(log w_i + G_si)`` over a fixed
+       (hypotheses, N) Gumbel table drawn from a constant PRNG key at trace
+       time (deterministic artifact, PROSAC-like: confident matches are
+       sampled more often, which multiplies the all-inlier hypothesis rate).
+    2. **Batched minimal solves** — ``vmap`` of the matched-pair 8-point
+       solve with ``method="fast"``: the unrolled-Cholesky inverse iteration
+       is a latency-bound scalar chain, so S hypotheses cost the same wall
+       clock as one solve (each scalar becomes an (S,)-vector VPU op).
+       Manifold projection is skipped for scoring.
+    3. **MSAC scoring** — truncated inlier score
+       ``sum_i w_i * max(0, 1 - sampson_i / tau)`` over ALL candidates, every
+       hypothesis at once ((S, N) einsums).
+    4. **Refit + polish** — weighted 8-point on the best hypothesis's hard
+       inliers, then ``polish_iters`` Cauchy-IRLS steps (now safely inside
+       the right basin — exactly where IRLS is strong).
+
+    Args:
+        weights: (N,) candidate weights; <= 0 marks invalid rows (they are
+            never sampled and carry no score).
+        pts1_n / pts2_n: (N, 2) matched normalized (x, y) candidates.
+        tau: squared-Sampson inlier threshold in normalized coordinates
+            (camera-aware: (px_tol / fx)^2, like a RANSAC pixel threshold).
+        hypotheses: number of minimal samples (static; 128 default).
+        polish_iters: Cauchy-IRLS iterations after the inlier refit.
+        seed: PRNG seed for the (constant) Gumbel table.
+
+    Returns:
+        (3, 3) essential matrix.
+    """
+    n = weights.shape[0]
+    tau = jnp.asarray(tau, jnp.float32)
+    valid = weights > 0
+    logw = jnp.where(valid, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
+    gumbel = jax.random.gumbel(jax.random.PRNGKey(seed), (hypotheses, n),
+                               dtype=jnp.float32)
+    _, idx = jax.lax.top_k(logw[None, :] + gumbel, 8)          # (S, 8)
+
+    p1h = pts1_n[idx]                                          # (S, 8, 2)
+    p2h = pts2_n[idx]
+    # Uniform weights over the sampled (valid) points: a minimal sample is a
+    # hard hypothesis, not a soft fit. Invalid picks (< 8 valid candidates)
+    # zero out and the hypothesis degrades to a lower-rank LS — scored low.
+    w8 = valid[idx].astype(jnp.float32)
+    e_h = jax.vmap(
+        lambda w, a, b: essential_from_matched_points(
+            w, a, b, method="fast", project=False))(w8, p1h, p2h)  # (S, 3, 3)
+
+    s_all = sampson_error_matched(e_h, pts1_n, pts2_n)          # (S, N)
+    msac = jnp.maximum(0.0, 1.0 - s_all / (tau + jnp.float32(1e-30)))
+    scores = (weights[None, :] * msac).sum(axis=1)              # (S,)
+    best = jnp.argmax(scores)
+
+    s_best = s_all[best]
+    w_in = weights * (s_best < tau).astype(weights.dtype)
+    e = essential_from_matched_points(w_in, pts1_n, pts2_n)
+
+    if polish_iters:
+        # LO-RANSAC-style local optimization: re-gate the inlier set against
+        # the polished model each step, Cauchy-weighted within the gate —
+        # with the gate threshold floored at 4x the current residual scale of
+        # the TRUSTED core (the best hypothesis's inliers). Three measured
+        # failure modes force this exact form:
+        # (a) no gate at all — a just-outside-tau outlier still gets weight
+        #     w/2 and drags the polish back toward the contaminated fit
+        #     (sprite scene, round 4);
+        # (b) re-gating at fixed tau — when tau sits near the inlier Sampson
+        #     scale the gate collapses catastrophically (measured 59 -> 4 ->
+        #     0 survivors on a 61%-inlier synthetic, ending in a garbage
+        #     all-zero-weight solve);
+        # (c) gating on a frozen/union set — collapse-proof but locks the
+        #     hypothesis gate's false positives into every refit (deep-scene
+        #     t-dir RPE 9.9 -> 14.4 deg vs 11.0 with re-gating).
+        # The scale floor resolves the tension: when the model is good and
+        # residuals are tiny the gate is exactly tau (full re-gate accuracy);
+        # when tau is marginal relative to the true residual scale the floor
+        # keeps every genuine inlier gated and the polish cannot collapse.
+        in_core = w_in > 0
+        n_core = in_core.sum()
+
+        def body(_, e_cur):
+            s = sampson_error_matched(e_cur, pts1_n, pts2_n)
+            # Robust scale: MEDIAN residual of the trusted core under the
+            # current model (a weighted mean is inflated by the hypothesis
+            # gate's own false positives — measured as a too-wide gate that
+            # costs deep-scene t-dir accuracy).
+            s_sorted = jnp.sort(jnp.where(in_core, s, jnp.inf))
+            sigma = s_sorted[jnp.clip((n_core - 1) // 2, 0, s.shape[0] - 1)]
+            gate_tau = jnp.maximum(tau, 4.0 * jnp.where(jnp.isfinite(sigma),
+                                                        sigma, 0.0))
+            gate = (s < gate_tau).astype(weights.dtype)
+            infl = 1.0 / (1.0 + s / (gate_tau + jnp.float32(1e-18)))
+            return essential_from_matched_points(weights * gate * infl,
+                                                 pts1_n, pts2_n)
+
+        e = jax.lax.fori_loop(0, polish_iters, body, e)
+    return e
+
+
 def essential_from_weighted_points(
     weights: jax.Array,
     pts1_n: jax.Array,
@@ -514,6 +713,8 @@ def estimate_essential_from_keypoints(
     method: str = "eigh",
     irls_iters: int = 0,
     irls_px: float = 2.0,
+    ransac_hypotheses: int = 0,
+    ransac_px: float = 2.0,
 ) -> jax.Array:
     """E from actual (y, x) keypoints and their Sinkhorn matrix (batch-free).
 
@@ -523,6 +724,13 @@ def estimate_essential_from_keypoints(
 
     Args:
         p: (K+1, K+1); keypoints*: (K, 2) in (y, x); valid*: (K,) bool.
+        ransac_hypotheses: > 0 switches the solve to in-graph vectorized
+            RANSAC (:func:`essential_ransac_from_candidates`) over the
+            mutual-best-match candidates of P, with ``irls_iters`` Cauchy
+            polish steps after the inlier refit. 0 (default) keeps the
+            reference's soft-weighted LS solve (+ optional IRLS).
+        ransac_px: RANSAC inlier threshold in pixels (camera-aware:
+            tau = (px / fx)^2 in normalized squared Sampson error).
 
     Returns:
         (3, 3) essential matrix.
@@ -532,7 +740,6 @@ def estimate_essential_from_keypoints(
     p_core = p[:n, :m].astype(jnp.float32)
     p_core = p_core * valid1.astype(p_core.dtype)[:, None]
     p_core = p_core * valid2.astype(p_core.dtype)[None, :]
-    weights = bidirectional_topk_weights(p_core, top_k)
 
     k_inv = k_inv.astype(jnp.float32)
 
@@ -541,6 +748,24 @@ def estimate_essential_from_keypoints(
                         axis=-1)  # (K, 3) homogeneous (x, y, 1)
         return _mm(xy1, k_inv.T)[:, :2]
 
+    if ransac_hypotheses:
+        # Candidate list = mutual best matches of P (the same mutual-NN rule
+        # the host extraction uses, `ops/match_extraction.py`), weighted by
+        # their probability. One candidate per image-1 keypoint keeps the
+        # shape static.
+        j_best = jnp.argmax(p_core, axis=1)                    # (N,)
+        i_best = jnp.argmax(p_core, axis=0)                    # (M,)
+        mutual = i_best[j_best] == jnp.arange(n)
+        w = p_core[jnp.arange(n), j_best] * mutual.astype(jnp.float32)
+        w = w * (w > 0.01)  # reference's absolute probability floor
+        pts1_n = normalize(keypoints1)
+        pts2_n = normalize(keypoints2)[j_best]
+        tau = (ransac_px * k_inv[0, 0]) ** 2
+        return essential_ransac_from_candidates(
+            w, pts1_n, pts2_n, tau,
+            hypotheses=ransac_hypotheses, polish_iters=irls_iters)
+
+    weights = bidirectional_topk_weights(p_core, top_k)
     # Camera-aware IRLS scale: a px_tol-pixel reprojection tolerance in
     # K^-1-normalized coordinates is (px_tol / f)^2 of squared Sampson error
     # (k_inv[0, 0] = 1/fx); computed from the RUNTIME intrinsics so one

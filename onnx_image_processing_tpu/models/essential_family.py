@@ -90,7 +90,9 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
         k_inv=jnp.asarray(k_inv), top_k=_TOP_K,
         n_iter=_N_ITER, n_iter_manifold=_N_ITER_MANIFOLD,
         irls_iters=cfg.essential_irls_iters,
-        irls_px=cfg.essential_irls_px)
+        irls_px=cfg.essential_irls_px,
+        ransac_hypotheses=cfg.essential_ransac_hypotheses,
+        ransac_px=cfg.essential_ransac_px)
     return kpts1, kpts2, probs, e
 
 

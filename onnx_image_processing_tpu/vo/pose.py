@@ -103,10 +103,28 @@ def recover_pose(
     keypoints1: np.ndarray,
     keypoints2: np.ndarray,
     intrinsics: CameraIntrinsics,
+    sampson_px: float | None = 2.0,
+    distance_thresh: float = 1e4,
 ):
     """Chirality-resolved (R, t) from a known essential matrix and (y, x)
     matches — the host step after the in-graph-E pipelines
     (`sample/visual_odometry.py:95-143`).
+
+    Two measured robustness divergences from the reference's bare
+    ``cv2.recoverPose(E, pts1, pts2, K)`` call (same spirit as the
+    stacked-candidate fix in ``estimate_pose_ransac``):
+
+    * ``sampson_px``: chirality votes are restricted to the Sampson inliers
+      of E (at this pixel tolerance) instead of letting every outlier match
+      vote — the host-RANSAC path gets exactly this for free by passing
+      findEssentialMat's inlier mask into recoverPose, and without it a
+      contaminated match set can vote the twisted-pair (R flipped 180°)
+      decomposition ahead of the true one. ``None`` disables.
+    * ``distance_thresh``: cv2's 4-argument ``recoverPose`` overload
+      hard-codes a 50-unit triangulated-depth cap in its chirality test;
+      scenes with depth/baseline > 50 (any slow-moving camera) then reject
+      CORRECT points from voting and the decision is made by noise. The
+      explicit-threshold overload with a large bound restores the vote.
 
     Returns (R | None, t | None, inlier_mask (N,) bool).
     """
@@ -116,8 +134,26 @@ def recover_pose(
         return None, None, np.zeros(n, dtype=bool)
     pts1 = np.ascontiguousarray(keypoints1[:, [1, 0]], dtype=np.float64)
     pts2 = np.ascontiguousarray(keypoints2[:, [1, 0]], dtype=np.float64)
-    num, r, t, mask = cv2.recoverPose(essential.astype(np.float64), pts1, pts2,
-                                      intrinsics.K)
+    e = essential.astype(np.float64)
+
+    vote_mask = None
+    if sampson_px is not None:
+        k_inv = np.linalg.inv(intrinsics.K)
+        x1 = np.concatenate([pts1, np.ones((n, 1))], axis=1) @ k_inv.T
+        x2 = np.concatenate([pts2, np.ones((n, 1))], axis=1) @ k_inv.T
+        l2 = x1 @ e.T
+        l1 = x2 @ e
+        s = ((l2 * x2).sum(1) ** 2
+             / (l2[:, 0] ** 2 + l2[:, 1] ** 2
+                + l1[:, 0] ** 2 + l1[:, 1] ** 2 + 1e-12))
+        tau = (sampson_px / intrinsics.fx) ** 2
+        vote_mask = (s < tau).astype(np.uint8).reshape(-1, 1)
+        if vote_mask.sum() < 5:
+            return None, None, np.zeros(n, dtype=bool)
+
+    num, r, t, mask, _ = cv2.recoverPose(e, pts1, pts2, intrinsics.K,
+                                         distanceThresh=distance_thresh,
+                                         mask=vote_mask)
     if num < 5:
         return None, None, np.zeros(n, dtype=bool)
     return r, t, mask.ravel() > 0

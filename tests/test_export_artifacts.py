@@ -60,6 +60,31 @@ def test_export_essential_pipeline_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_essential_ransac_roundtrip(tmp_path):
+    """The in-graph RANSAC solve must export: its Gumbel hypothesis table is
+    a trace-time constant, so the artifact is deterministic and bit-exact."""
+    name = "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"
+    h, w = 64, 80
+    exported = models.export_model(name, h, w, platform="cpu",
+                                   max_keypoints=32,
+                                   essential_ransac_hypotheses=32,
+                                   essential_irls_iters=2)
+    path = models.save_exported(
+        exported, models.artifact_path(str(tmp_path), name + "_ransac", "cpu"))
+
+    rng = np.random.default_rng(3)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    k_inv = jnp.asarray(np.linalg.inv(
+        np.array([[100., 0, 40], [0, 100., 32], [0, 0, 1]], np.float32)))
+    live = models.build(name, max_keypoints=32,
+                        essential_ransac_hypotheses=32,
+                        essential_irls_iters=2)(img1, img2, k_inv)
+    loaded = models.load_exported(path)(img1, img2, k_inv)
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_export_cli_writes_and_verifies(tmp_path, capsys):
     from onnx_image_processing_tpu.cli import export as export_cli
 

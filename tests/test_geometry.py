@@ -248,6 +248,154 @@ def test_essential_fast_method_matches_eigh_end_to_end():
     assert np.abs(ef - ee).max() < 1e-4
 
 
+def _two_view(n=256, noise=1e-3, outlier_frac=0.0, seed=0):
+    """Matched normalized correspondences from a known (R, t), optionally
+    contaminated by permuting a fraction of the image-2 points."""
+    rng = np.random.default_rng(seed)
+    x3 = np.concatenate([rng.uniform(-1, 1, (n, 2)), rng.uniform(3, 8, (n, 1))],
+                        axis=1)
+    ang = 0.1
+    r = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([0.4, 0.1, 0.05])
+    t = t / np.linalg.norm(t)
+    x1 = (x3[:, :2] / x3[:, 2:3]).astype(np.float32)
+    xc = x3 @ r.T + t
+    x2 = (xc[:, :2] / xc[:, 2:3]).astype(np.float32)
+    x1 += noise * rng.standard_normal((n, 2)).astype(np.float32)
+    x2 += noise * rng.standard_normal((n, 2)).astype(np.float32)
+    if outlier_frac:
+        nout = int(outlier_frac * n)
+        idx = rng.choice(n, nout, replace=False)
+        x2[idx] = x2[idx][rng.permutation(nout)]
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    e_true = tx @ r
+    return x1, x2, e_true / np.linalg.norm(e_true)
+
+
+def _e_err(e, e_true):
+    e = np.asarray(e, np.float64)
+    e = e / np.linalg.norm(e)
+    return min(np.abs(e - e_true).max(), np.abs(e + e_true).max())
+
+
+def test_sampson_error_matched_matches_matrix_diag():
+    """Matched-pair Sampson must equal the diagonal of the all-pairs matrix,
+    and broadcast over leading hypothesis axes."""
+    from onnx_image_processing_tpu.geometry import sampson_error_matched
+    from onnx_image_processing_tpu.geometry.essential_matrix import (
+        sampson_error_matrix)
+
+    rng = np.random.default_rng(5)
+    x1, x2, e_true = _two_view(n=64, noise=5e-3)
+    e = jnp.asarray(e_true.astype(np.float32))
+    full = np.asarray(sampson_error_matrix(e, jnp.asarray(x1), jnp.asarray(x2)))
+    diag = np.asarray(sampson_error_matched(e, jnp.asarray(x1), jnp.asarray(x2)))
+    # einsum vs matmul contraction order: last-ulp f32 differences only.
+    np.testing.assert_allclose(diag, np.diagonal(full), rtol=1e-4, atol=1e-12)
+
+    es = jnp.asarray(rng.standard_normal((7, 3, 3)).astype(np.float32))
+    batched = np.asarray(sampson_error_matched(es, jnp.asarray(x1),
+                                               jnp.asarray(x2)))
+    assert batched.shape == (7, 64)
+    one = np.asarray(sampson_error_matched(es[3], jnp.asarray(x1),
+                                           jnp.asarray(x2)))
+    np.testing.assert_allclose(batched[3], one, rtol=1e-6)
+
+
+def test_essential_from_matched_points_recovers_geometry():
+    from onnx_image_processing_tpu.geometry import essential_from_matched_points
+
+    x1, x2, e_true = _two_view(noise=1e-4)
+    w = jnp.ones(len(x1), jnp.float32)
+    e = essential_from_matched_points(w, jnp.asarray(x1), jnp.asarray(x2))
+    assert _e_err(e, e_true) < 5e-3
+    # "fast" method (the vmapped hypothesis solver) agrees with eigh.
+    ef = essential_from_matched_points(w, jnp.asarray(x1), jnp.asarray(x2),
+                                       method="fast")
+    assert _e_err(ef, e_true) < 5e-3
+
+
+def test_essential_ransac_rejects_outliers():
+    """40% gross outliers: the vectorized RANSAC must stay near the true E
+    where the plain weighted LS fit is pulled far off (the measured failure
+    mode of the reference's soft-weighted in-graph solve)."""
+    import jax
+
+    from onnx_image_processing_tpu.geometry import (
+        essential_from_matched_points, essential_ransac_from_candidates)
+
+    from onnx_image_processing_tpu.geometry import sampson_error_matched
+
+    x1, x2, e_true = _two_view(outlier_frac=0.4)
+    tau = (2.0 / 300.0) ** 2  # 2 px at f=300 in normalized coords
+
+    # Weights mildly correlated with correctness — the pipeline contract
+    # (candidate weights are Sinkhorn probabilities, and wrong matches score
+    # lower). Fully uninformative weights are a harsher setting where the
+    # MSAC consensus itself gets noisy on some draws (~0.18 on this one).
+    s_true = np.asarray(sampson_error_matched(
+        jnp.asarray(e_true.astype(np.float32)), jnp.asarray(x1),
+        jnp.asarray(x2)))
+    inl = s_true < tau
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(np.where(inl, rng.uniform(0.5, 1.0, len(x1)),
+                             rng.uniform(0.1, 0.6, len(x1))).astype(np.float32))
+
+    fn = jax.jit(lambda w, a, b: essential_ransac_from_candidates(
+        w, a, b, tau, hypotheses=128, polish_iters=2))
+    e_r = fn(w, jnp.asarray(x1), jnp.asarray(x2))
+    e_ls = essential_from_matched_points(w, jnp.asarray(x1), jnp.asarray(x2))
+    assert _e_err(e_r, e_true) < 0.1
+    assert _e_err(e_ls, e_true) > 0.25  # the non-robust fit really is broken
+
+    # Deterministic: the Gumbel table is a trace-time constant.
+    e_r2 = fn(w, jnp.asarray(x1), jnp.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(e_r), np.asarray(e_r2))
+
+
+def test_essential_ransac_zero_weights_is_finite():
+    from onnx_image_processing_tpu.geometry import (
+        essential_ransac_from_candidates)
+
+    rng = np.random.default_rng(12)
+    w0 = jnp.zeros((64,), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+    p2 = jnp.asarray(rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+    e = np.asarray(essential_ransac_from_candidates(w0, p1, p2, 1e-4,
+                                                    hypotheses=16,
+                                                    polish_iters=2))
+    assert np.isfinite(e).all()
+
+
+def test_estimate_essential_from_keypoints_ransac_mode():
+    """Keypoint-level entry: contaminated P (30% wrong assignments) — the
+    RANSAC mode must recover the true E, the soft LS solve must not."""
+    from onnx_image_processing_tpu.geometry import (
+        estimate_essential_from_keypoints)
+
+    rng = np.random.default_rng(6)
+    x1, x2, e_true = _two_view(n=128, noise=5e-4)
+    n = len(x1)
+    perm = np.arange(n)
+    idx = rng.choice(n, int(0.3 * n), replace=False)
+    perm[idx] = idx[rng.permutation(len(idx))]
+    p = np.zeros((n + 1, n + 1), np.float32)
+    p[np.arange(n), perm] = rng.uniform(0.5, 1.0, n).astype(np.float32)
+    kpts1 = np.stack([x1[:, 1], x1[:, 0]], -1).astype(np.float32)  # (y, x)
+    kpts2 = np.stack([x2[:, 1], x2[:, 0]], -1).astype(np.float32)
+    valid = jnp.ones(n, bool)
+    args = (jnp.asarray(p), jnp.asarray(kpts1), jnp.asarray(kpts2),
+            valid, valid, jnp.eye(3, dtype=jnp.float32))
+    # k_inv = I, so "pixels" are already normalized units: ransac_px is the
+    # tolerance directly (3e-3 ~ a few px at a typical f).
+    e_r = estimate_essential_from_keypoints(
+        *args, ransac_hypotheses=128, irls_iters=2, ransac_px=3e-3)
+    e_ls = estimate_essential_from_keypoints(*args)
+    assert _e_err(e_r, e_true) < 0.05
+    assert _e_err(e_r, e_true) < _e_err(e_ls, e_true)
+
+
 def test_essential_zero_weights_is_finite():
     """Degenerate input (no matches anywhere) must not NaN on any method."""
     from onnx_image_processing_tpu.geometry.essential_matrix import (

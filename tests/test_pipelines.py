@@ -232,6 +232,29 @@ def test_essential_pipeline_outputs(gray_image_pair):
     np.testing.assert_allclose(s[0], s[1], rtol=1e-3)  # sigma1 == sigma2
 
 
+def test_essential_pipeline_ransac_mode(gray_image_pair):
+    """essential_ransac_hypotheses > 0: same matcher outputs (keypoints/P are
+    upstream of the solve), still a valid rank-2 E, and a different — robust —
+    solve path. One static jit graph, export-safe."""
+    img1, img2 = gray_image_pair
+    base = MatcherConfig(max_keypoints=64, num_pairs=256, block_size=5)
+    k_inv = jnp.asarray(np.linalg.inv(
+        np.array([[100., 0, 80], [0, 100., 60], [0, 0, 1]], np.float32)))
+    name = "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"
+    k1a, k2a, pa, ea = models.build(name, base)(
+        jnp.asarray(img1), jnp.asarray(img2), k_inv)
+    cfg = base.with_(essential_ransac_hypotheses=64, essential_irls_iters=2)
+    k1b, k2b, pb, eb = models.build(name, cfg)(
+        jnp.asarray(img1), jnp.asarray(img2), k_inv)
+    np.testing.assert_array_equal(np.asarray(k1a), np.asarray(k1b))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    e = np.asarray(eb)
+    assert np.isfinite(e).all()
+    s = np.linalg.svd(e, compute_uv=False)
+    assert s[2] < 1e-4 * max(s[0], 1e-12)
+    np.testing.assert_allclose(s[0], s[1], rtol=1e-3)
+
+
 @requires_reference
 def test_dense_matcher_parity(gray_image_pair):
     """The dense matcher's sparse-bilinear descriptor path must match the

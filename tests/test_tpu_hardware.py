@@ -332,3 +332,22 @@ def test_approx_match_level_bound_on_hardware():
             "seed": 211}
     errs = _run_approx_draw(draw)
     assert not errs, errs
+
+
+def test_essential_ransac_pipeline_on_hardware():
+    """The in-graph vectorized RANSAC essential pipeline, compiled on the
+    real chip: one representative essential-family soak draw with
+    essential_ransac=128 (the broader fuzz runs as `tools/soak.py --device
+    tpu`, which now draws this mode). Checks TPU/CPU keypoint-set agreement,
+    P agreement over the common subset, and that the TPU E fits the actual
+    matches no worse than the CPU E (element-wise E comparison is
+    meaningless on near-degenerate synthetic pairs — see the soak)."""
+    from tools.soak import _run_tpu_draw
+
+    draw = {"idx": 0, "family": "essential", "h": 484, "w": 644,
+            "max_keypoints": 256, "num_pairs": 256,
+            "sampling_mode": "nearest", "binarize": False,
+            "soft_binarize": True, "with_angle": True, "nms_radius": 3,
+            "topk_mode": "block", "essential_ransac": 128, "seed": 97}
+    errs = _run_tpu_draw(draw)
+    assert not errs, errs

@@ -78,6 +78,47 @@ def test_recover_pose_from_known_essential():
     assert err < 0.1
 
 
+def test_recover_pose_far_scene_with_outliers():
+    """The two robustness divergences in recover_pose (Sampson-masked voting,
+    explicit distanceThresh) must resolve the true decomposition on a scene
+    with depth/baseline > 50 and 40% outlier matches — the measured regime
+    where cv2's bare 4-arg recoverPose picks the twisted pair (BASELINE.md
+    round 4: a 179.9 deg rotation on the sprite scene)."""
+    rng = np.random.default_rng(7)
+    n = 120
+    intr = CameraIntrinsics(300, 300, 160, 120, 320, 240)
+    # Depth 40..120 with a 0.5-unit baseline: depth/baseline 80..240, far
+    # beyond the 50-unit cap the bare overload hard-codes.
+    x3d = np.concatenate([rng.uniform(-20, 20, (n, 2)),
+                          rng.uniform(40, 120, (n, 1))], axis=1)
+    ang = 0.05
+    r_true = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]])
+    t_true = np.array([0.45, 0.05, 0.2])
+
+    def project(pts):
+        uv = (intr.K @ pts.T).T
+        return uv[:, :2] / uv[:, 2:3]
+
+    uv1 = project(x3d) + rng.normal(0, 0.2, (n, 2))
+    uv2 = project((r_true @ x3d.T).T + t_true) + rng.normal(0, 0.2, (n, 2))
+    nout = int(0.4 * n)
+    idx = rng.choice(n, nout, replace=False)
+    uv2[idx] = uv2[idx][rng.permutation(nout)]
+
+    tx = np.array([[0, -t_true[2], t_true[1]], [t_true[2], 0, -t_true[0]],
+                   [-t_true[1], t_true[0], 0]])
+    e = tx @ r_true
+    r, t, mask = recover_pose(e, uv1[:, ::-1].copy(), uv2[:, ::-1].copy(), intr)
+    assert r is not None
+    err = np.degrees(np.arccos(np.clip((np.trace(r_true.T @ r) - 1) / 2, -1, 1)))
+    assert err < 0.5
+    cos = np.dot(t.ravel(), t_true) / (np.linalg.norm(t) * np.linalg.norm(t_true))
+    assert cos > 0.99  # sign-correct translation (no chirality flip)
+    # Votes were restricted to Sampson inliers: outlier rows can't be inliers.
+    assert mask[idx].sum() <= 2
+
+
 def test_triangulation_roundtrip():
     k1, k2, r_true, t_true, intr = _synthetic_correspondences(n=40)
     x = triangulate_points(k1, k2, np.eye(3), np.zeros(3), r_true, t_true, intr)

@@ -501,6 +501,10 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
         # Exact selection modes only — "approx" is characterized by its own
         # recall-based mode (--approx-e2e), not set equality.
         "topk_mode": str(rng.choice(["block", "block", "sort"])),
+        # Essential-family solver mode: plain weighted LS (reference parity)
+        # or the in-graph vectorized RANSAC (+2 polish) — both compiled
+        # graphs belong in the fuzz space.
+        "essential_ransac": int(rng.choice([0, 128])),
         "seed": int(rng.integers(0, 2**31)),
     }
 
@@ -543,7 +547,9 @@ def _run_tpu_draw(draw: dict) -> list[str]:
         max_keypoints=draw["max_keypoints"], num_pairs=draw["num_pairs"],
         sampling_mode=draw["sampling_mode"], binarize=draw["binarize"],
         soft_binarize=draw["soft_binarize"], nms_radius=draw["nms_radius"],
-        topk_mode=draw.get("topk_mode", "block"))
+        topk_mode=draw.get("topk_mode", "block"),
+        essential_ransac_hypotheses=draw.get("essential_ransac", 0),
+        essential_irls_iters=2 if draw.get("essential_ransac", 0) else 0)
     e_t = e_c = None
     if family == "akaze":
         def run(cfg_):
