@@ -1,0 +1,100 @@
+"""Streaming (feature-cached) matcher throughput vs the two-image graph.
+
+Measures the per-frame device cost of the sequential-serving recipe
+(`models/streaming.py`): extract features for the NEW frame only and match
+against the cached previous-frame features — vs re-running the full
+two-image matcher per frame (the reference VO loop's structure,
+`sample/visual_odometry.py:542-550`). Outputs are bit-identical
+(tests/test_streaming.py); only the redundant recompute differs.
+
+Timing: the same chained-`lax.scan` protocol as bench.py (host-blocking
+timing on a tunneled TPU measures the tunnel, not the chip); each iteration
+extracts from a perturbed image that depends on the previous match output,
+and the carry holds the new frame's features — exactly the VO loop's device
+data flow.
+
+Usage: python benchmarks/streaming_vo.py [--kpts 512] [--size 480 640]
+       [--model shi_tomasi_angle_sparse_bad_sinkhorn] [--essential]
+Output: one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.timing import chain_time, setup_cache  # noqa: E402
+
+
+def _images(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img1 = np.clip(base + rng.normal(0, 3, (h, w)), 0, 255)
+    img2 = np.clip(np.roll(base, 7, 1) + rng.normal(0, 3, (h, w)), 0, 255)
+    return (img1.astype(np.float32)[None, None],
+            img2.astype(np.float32)[None, None])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kpts", type=int, default=512)
+    ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--model", default="shi_tomasi_angle_sparse_bad_sinkhorn")
+    ap.add_argument("--essential", action="store_true",
+                    help="use the *_essential_matrix variant (adds k_inv)")
+    args = ap.parse_args(argv)
+
+    setup_cache()
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu import models
+
+    name = args.model + ("_essential_matrix" if args.essential else "")
+    h, w = args.size
+    img1, img2 = (jnp.asarray(i) for i in _images(h, w))
+    kw = dict(max_keypoints=args.kpts)
+    k_inv = jnp.asarray(np.linalg.inv(np.array(
+        [[0.8 * w, 0, w / 2], [0, 0.8 * w, h / 2], [0, 0, 1]], np.float32)))
+    extra = (k_inv,) if args.essential else ()
+
+    two_image = models.build(name, **kw)
+    extract, match = models.build_streaming(name, **kw)
+
+    def step_two_image(a, b):
+        out = two_image(a, b, *extra)
+        p = out[2]
+        eps = p[0, 0, 0] * 1e-12
+        return p[0, 0, 0], (a + eps, b + eps)
+
+    def step_streaming(img, feats_prev):
+        feats = extract(img)
+        out = match(feats_prev, feats, *extra)
+        p = out[2]
+        eps = p[0, 0, 0] * 1e-12
+        return p[0, 0, 0], (img + eps, feats)
+
+    ms_two = chain_time(step_two_image, (img1, img2), n=50)
+    feats0 = extract(img1)
+    ms_str = chain_time(step_streaming, (img2, feats0), n=50)
+
+    print(json.dumps({
+        "bench": "streaming_vo", "model": name, "kpts": args.kpts,
+        "size": [h, w],
+        "two_image_ms_per_frame": round(ms_two, 4),
+        "streaming_ms_per_frame": round(ms_str, 4),
+        "speedup": round(ms_two / ms_str, 3),
+        "two_image_fps": round(1e3 / ms_two, 1),
+        "streaming_fps": round(1e3 / ms_str, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,9 +110,20 @@ def run_visual_odometry(
     max_frames: int | None = None,
     verbose: bool = True,
     display: bool = False,
+    extract_fn=None,
 ) -> Trajectory:
     """Frame loop with the reference's gating state machine
-    (`sample/visual_odometry.py:424-693`)."""
+    (`sample/visual_odometry.py:424-693`).
+
+    With ``extract_fn`` (streaming mode, the default for supported models —
+    `models/streaming.py`), ``matcher_fn`` is the feature-level match tail
+    and the loop caches the REFERENCE FRAME'S FEATURES instead of its image:
+    each frame runs detect/describe once (on the new frame only) instead of
+    twice, halving per-frame device compute with identical outputs
+    (bit-exact through the descriptors; see models/streaming.py). The
+    reference's loop cannot do this — its single ONNX graph takes two images
+    (`sample/visual_odometry.py:542-550`).
+    """
     import jax.numpy as jnp
 
     trajectory = Trajectory()
@@ -127,6 +138,8 @@ def run_visual_odometry(
     if not ok:
         raise RuntimeError("failed to read first frame")
     prev_image = load_image_from_array(prev_frame, model_height, model_width)
+    prev_feats = (extract_fn(jnp.asarray(prev_image))
+                  if extract_fn is not None else None)
 
     frame_count = processed = 0
     total_matches = total_inliers = 0
@@ -145,7 +158,16 @@ def run_visual_odometry(
             break
 
         curr_image = load_image_from_array(curr_frame, model_height, model_width)
-        fn_args = (jnp.asarray(prev_image), jnp.asarray(curr_image))
+        if extract_fn is not None:
+            # Streaming: extract the NEW frame's features only; the cached
+            # reference features skip their detect/describe entirely. Both
+            # dispatches are async — the extract feeds the match on-device,
+            # so the loop still pays exactly one blocking transfer per frame.
+            curr_feats = extract_fn(jnp.asarray(curr_image))
+            fn_args = (prev_feats, curr_feats)
+        else:
+            curr_feats = None
+            fn_args = (jnp.asarray(prev_image), jnp.asarray(curr_image))
         # The matcher is wrapped with in-graph mutual-NN extraction (see
         # main()): only the fixed-size matched pairs cross the host boundary
         # each frame, not the (K+1)^2 probability matrix — host<->device
@@ -187,7 +209,7 @@ def run_visual_odometry(
                 if verbose:
                     print(f"Frame {frame_count}: {status}")
                 if ref_age >= max_reference_age:
-                    prev_image = curr_image
+                    prev_image, prev_feats = curr_image, curr_feats
                     ref_age = 0
                     if verbose:
                         print("  -> reference frame forced update (age limit)")
@@ -211,7 +233,7 @@ def run_visual_odometry(
                 else:
                     trajectory.add_relative_pose(r, t)
                     pose_updated = True
-                    prev_image = curr_image
+                    prev_image, prev_feats = curr_image, curr_feats
                     ref_age = 0
                     if verbose and processed % 10 == 0:
                         fps = processed / (time.time() - t_start)
@@ -291,6 +313,12 @@ def parse_args(argv=None):
                    help="fixed-iteration IRLS steps for the in-graph "
                         "essential solve (with --essential-ransac: polish "
                         "iterations after the inlier refit)")
+    p.add_argument("--no-streaming", dest="streaming", action="store_false",
+                   help="disable the feature-cached streaming split and run "
+                        "the full two-image matcher per frame (the "
+                        "reference's loop structure; outputs identical — "
+                        "streaming only skips recomputing the reference "
+                        "frame's features; ~1.8x device FPS, BASELINE.md)")
     p.add_argument("--max-matches", type=int, default=100)
     p.add_argument("--min-matches", type=int, default=20)
     p.add_argument("--min-inlier-ratio", type=float, default=0.5)
@@ -351,20 +379,31 @@ def main(argv=None):
     base = args.model[:-len("_extraction")] if args.model.endswith("_extraction") \
         else args.model
     spec = models.get(base)
-    wrapped = models.with_match_extraction(spec.fn)
     cfg = spec.defaults.with_(max_matches=args.max_matches,
                               match_threshold=args.match_threshold,
                               essential_ransac_hypotheses=args.essential_ransac,
                               essential_irls_iters=args.essential_irls)
     import jax
 
-    def fn(*inputs):
-        return wrapped(*inputs, cfg)
+    # Streaming by default where the model has a feature-level split
+    # (models/streaming.py): the loop then caches the reference frame's
+    # features and each frame runs detect/describe ONCE — identical outputs
+    # (tests/test_streaming.py), ~half the per-frame device time
+    # (0.54 -> 0.30 ms/frame flagship @480p, BASELINE.md "streaming VO").
+    extract_fn = None
+    if args.streaming and models.supports_streaming(base):
+        extract_fn, fn = models.build_streaming(base + "_extraction", cfg)
+    else:
+        wrapped = models.with_match_extraction(spec.fn)
 
-    fn = jax.jit(fn)
+        def fn(*inputs):
+            return wrapped(*inputs, cfg)
+
+        fn = jax.jit(fn)
     try:
         traj = run_visual_odometry(
             fn, reader, intr, args.height, args.width,
+            extract_fn=extract_fn,
             has_essential=spec.takes_k_inv, k_inv=intr.k_inv(),
             match_threshold=args.match_threshold,
             ransac_threshold=args.ransac_threshold,

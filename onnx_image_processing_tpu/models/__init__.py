@@ -20,6 +20,7 @@ from .essential_family import (
 from .extraction import with_match_extraction
 from .registry import (PipelineSpec, register, names, get, build,
                        build_batched, compile_model)
+from .streaming import build_streaming, streaming_names, supports_streaming
 from .serialize import (
     POLYMORPHIC_EXPORTS,
     export_model,
@@ -51,6 +52,9 @@ __all__ = [
     "build",
     "build_batched",
     "compile_model",
+    "build_streaming",
+    "streaming_names",
+    "supports_streaming",
     "POLYMORPHIC_EXPORTS",
     "export_model",
     "export_model_polymorphic",

@@ -36,28 +36,42 @@ def akaze_detect_cfg(image: jax.Array, cfg: MatcherConfig):
         use_pallas=cfg.fused_detect)
 
 
-def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
-                                    cfg: MatcherConfig):
-    """AKAZE two-image matcher.
+def akaze_sparse_detect_describe(images: jax.Array, cfg: MatcherConfig):
+    """AKAZE sparse frontend: keypoints + scores + descriptors per image.
 
-    Note the descriptor samples the ORIGINAL image (not the diffused scale);
-    only the orientation comes from AKAZE — matching the reference wiring
+    Batch-parallel, so it serves the stacked two-image matcher and the
+    per-image streaming frontend (`models/streaming.py`) identically. Note
+    the descriptor samples the ORIGINAL image (not the diffused scale); only
+    the orientation comes from AKAZE — matching the reference wiring
     (`akaze_sparse_bad_sinkhorn.py:190-192`).
 
     Returns:
-        keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
+        keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
     """
-    both = _stack_pair(image1, image2)
-    scores, orient = akaze_detect_cfg(both, cfg)
+    scores, orient = akaze_detect_cfg(images, cfg)
     margin = _resolve_border_margin(cfg, sparse=True)
-    kpts, _ = _select_keypoints(scores, cfg, margin)
-    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
+    kpts, kscores = _select_keypoints(scores, cfg, margin)
+    desc = sparse_bad(images, kpts, load_bad_params(cfg.num_pairs),
                       orientation=orient, binarize=cfg.binarize,
                       soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
                       normalize_descriptors=cfg.normalize_descriptors,
                       sampling_mode=cfg.sampling_mode,
                       use_pallas=cfg.use_pallas,
                       integer_image=cfg.integer_image)
+    return kpts, kscores, desc
+
+
+def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
+                                    cfg: MatcherConfig):
+    """AKAZE two-image matcher.
+
+    Parity: `akaze_sparse_bad_sinkhorn.py:27-196`.
+
+    Returns:
+        keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
+    """
+    kpts, _, desc = akaze_sparse_detect_describe(_stack_pair(image1, image2),
+                                                 cfg)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,

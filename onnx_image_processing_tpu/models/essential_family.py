@@ -18,22 +18,12 @@ import jax.numpy as jnp
 
 from ..core.config import MatcherConfig
 from ..geometry import estimate_essential_from_keypoints
-from ..ops import (
-    angle_moments,
-    load_bad_params,
-    shi_tomasi_score,
-    sparse_bad,
-    sinkhorn_match,
-)
-from .akaze_family import akaze_detect_cfg
+from ..ops import sinkhorn_match
+from .akaze_family import akaze_sparse_detect_describe
 from .shi_tomasi_family import (
-    _resolve_border_margin,
-    _select_keypoints,
+    _sparse_detect_describe,
     _stack_pair,
     _split_pair,
-    _fused_detect_select,
-    _use_fused_detect,
-    shi_tomasi_with_angle,
 )
 
 # 8-point solve hyperparameters (reference defaults,
@@ -43,48 +33,13 @@ _N_ITER = 30
 _N_ITER_MANIFOLD = 10
 
 
-def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
-                            detect_fn):
-    if image1.shape[0] != 1:
-        raise ValueError(
-            f"essential-matrix pipelines require batch size 1, got {image1.shape[0]}")
-    both = _stack_pair(image1, image2)
-    margin = _resolve_border_margin(cfg, sparse=True)
-    if detect_fn is shi_tomasi_with_angle and _use_fused_detect(cfg):
-        # Fused Pallas detect front-end (kernels/detect_frontend.py); the
-        # AKAZE variant keeps its own detect path.
-        kpts, kscores, orientation_mm = _fused_detect_select(both, cfg,
-                                                             margin, True)
-        angles = None
-    elif detect_fn is shi_tomasi_with_angle:
-        # Same moments-not-angles routing as the flagship matcher: atan2 runs
-        # per sampled keypoint inside sparse_bad (bit-identical, no dense
-        # atan2 pass — see models/shi_tomasi_family._sparse_detect_describe).
-        scores = shi_tomasi_score(both, block_size=cfg.block_size)
-        orientation_mm = angle_moments(both, patch_size=cfg.patch_size,
-                                       sigma=cfg.sigma)
-        angles = None
-        kpts, kscores = _select_keypoints(scores, cfg, margin)
-    else:
-        scores, angles = detect_fn(both, cfg)
-        kpts, kscores = _select_keypoints(scores, cfg, margin)
-        orientation_mm = None
-    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
-                      orientation=angles, orientation_mm=orientation_mm,
-                      binarize=cfg.binarize,
-                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
-                      normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode=cfg.sampling_mode,
-                      use_pallas=cfg.use_pallas,
-                      integer_image=cfg.integer_image)
-    kpts1, kpts2 = _split_pair(kpts)
-    ks1, ks2 = _split_pair(kscores)
-    desc1, desc2 = _split_pair(desc)
-    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
-                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
-
-    e = estimate_essential_from_keypoints(
+def essential_from_match(kpts1, ks1, kpts2, ks2, probs, k_inv,
+                         cfg: MatcherConfig):
+    """The in-graph essential tail shared by the two-image pipelines and the
+    streaming composition (`models/streaming.py`): weighted 8-point (or,
+    with ``cfg.essential_ransac_hypotheses``, in-graph vectorized RANSAC)
+    on the matched keypoints. Batch-1 inputs."""
+    return estimate_essential_from_keypoints(
         probs[0], kpts1[0], kpts2[0],
         valid1=ks1[0] > 0, valid2=ks2[0] > 0,
         k_inv=jnp.asarray(k_inv), top_k=_TOP_K,
@@ -93,6 +48,22 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
         irls_px=cfg.essential_irls_px,
         ransac_hypotheses=cfg.essential_ransac_hypotheses,
         ransac_px=cfg.essential_ransac_px)
+
+
+def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
+                            frontend):
+    if image1.shape[0] != 1:
+        raise ValueError(
+            f"essential-matrix pipelines require batch size 1, got {image1.shape[0]}")
+    both = _stack_pair(image1, image2)
+    kpts, kscores, desc = frontend(both, cfg)
+    kpts1, kpts2 = _split_pair(kpts)
+    ks1, ks2 = _split_pair(kscores)
+    desc1, desc2 = _split_pair(desc)
+    probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
+                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
+                           distance_type=cfg.distance_type)
+    e = essential_from_match(kpts1, ks1, kpts2, ks2, probs, k_inv, cfg)
     return kpts1, kpts2, probs, e
 
 
@@ -104,8 +75,9 @@ def shi_tomasi_angle_sparse_bad_sinkhorn_essential_match(
     Returns:
         keypoints1 (1, K, 2), keypoints2 (1, K, 2), P (1, K+1, K+1), E (3, 3).
     """
-    return _matcher_with_essential(image1, image2, k_inv, cfg,
-                                   shi_tomasi_with_angle)
+    return _matcher_with_essential(
+        image1, image2, k_inv, cfg,
+        lambda both, c: _sparse_detect_describe(both, c, with_angle=True))
 
 
 def akaze_sparse_bad_sinkhorn_essential_match(
@@ -113,4 +85,5 @@ def akaze_sparse_bad_sinkhorn_essential_match(
         cfg: MatcherConfig):
     """AKAZE matcher + in-graph E (parity:
     `akaze_sparse_bad_sinkhorn_essential_matrix.py:34-378`)."""
-    return _matcher_with_essential(image1, image2, k_inv, cfg, akaze_detect_cfg)
+    return _matcher_with_essential(image1, image2, k_inv, cfg,
+                                   akaze_sparse_detect_describe)

@@ -195,6 +195,27 @@ def _split_pair(x: jax.Array):
     return x[:b], x[b:]
 
 
+def _dense_detect_describe(images: jax.Array, cfg: MatcherConfig):
+    """Dense-matcher frontend (batch-parallel; also the streaming frontend
+    for `shi_tomasi_bad_sinkhorn`): Shi-Tomasi select without the sparse
+    border margin, descriptors via the bilinear sparse-sampler identity
+    (see :func:`shi_tomasi_bad_sinkhorn_match`).
+
+    Returns:
+        keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
+    """
+    scores = shi_tomasi_score(images, block_size=cfg.block_size)
+    margin = _resolve_border_margin(cfg, sparse=False)
+    kpts, kscores = _select_keypoints(scores, cfg, margin)
+    desc = sparse_bad(images, kpts, load_bad_params(cfg.num_pairs),
+                      orientation=None, binarize=cfg.binarize,
+                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
+                      normalize_descriptors=cfg.normalize_descriptors,
+                      sampling_mode="bilinear", use_pallas=cfg.use_pallas,
+                      integer_image=cfg.integer_image)
+    return kpts, kscores, desc
+
+
 def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
                                   cfg: MatcherConfig):
     """Dense-descriptor matcher: ShiTomasi+BAD maps → NMS/top-k → sub-pixel
@@ -215,18 +236,7 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
     Returns:
         keypoints1 (B, K, 2), keypoints2 (B, K, 2), P (B, K+1, K+1).
     """
-    both = _stack_pair(image1, image2)
-    scores = shi_tomasi_score(both, block_size=cfg.block_size)
-    margin = _resolve_border_margin(cfg, sparse=False)
-    kpts, _ = _select_keypoints(scores, cfg, margin)
-
-    desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
-                      orientation=None, binarize=cfg.binarize,
-                      soft_binarize=cfg.soft_binarize, temperature=cfg.temperature,
-                      normalize_descriptors=cfg.normalize_descriptors,
-                      sampling_mode="bilinear", use_pallas=cfg.use_pallas,
-                      integer_image=cfg.integer_image)
-
+    kpts, _, desc = _dense_detect_describe(_stack_pair(image1, image2), cfg)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
@@ -237,17 +247,25 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
 
 def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                             with_angle: bool):
-    """Shared sparse path over a stacked (2B) image batch.
+    """Shared sparse frontend: keypoints + scores + descriptors per image.
 
-    On TPU the whole detect side (Shi-Tomasi score + orientation moments +
-    NMS mask) runs as ONE fused Pallas pass (`kernels/detect_frontend.py`);
-    orientation reaches the descriptor as (m10, m01) moment maps with atan2
-    applied per sampled keypoint — identical values, no dense atan2.
+    Every stage is batch-parallel, so it serves both the stacked (2B)
+    two-image matchers and the per-image streaming frontend
+    (`models/streaming.py`) with bit-identical outputs.
+
+    With ``cfg.fused_detect`` the detect side (Shi-Tomasi score + orientation
+    moments + NMS mask) runs as ONE fused Pallas pass
+    (`kernels/detect_frontend.py`); orientation reaches the descriptor as
+    (m10, m01) moment maps with atan2 applied per sampled keypoint —
+    identical values, no dense atan2.
+
+    Returns:
+        keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
     """
     margin = _resolve_border_margin(cfg, sparse=True)
     if _use_fused_detect(cfg):
-        kpts, _, orientation_mm = _fused_detect_select(both, cfg, margin,
-                                                       with_angle)
+        kpts, kscores, orientation_mm = _fused_detect_select(both, cfg, margin,
+                                                             with_angle)
         desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
                           orientation=None, orientation_mm=orientation_mm,
                           binarize=cfg.binarize,
@@ -257,7 +275,7 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                           sampling_mode=cfg.sampling_mode,
                           use_pallas=cfg.use_pallas,
                           integer_image=cfg.integer_image)
-        return kpts, desc
+        return kpts, kscores, desc
     scores = shi_tomasi_score(both, block_size=cfg.block_size)
     if with_angle:
         # Moments instead of the dense angle map: atan2 runs per sampled
@@ -267,7 +285,7 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                                        sigma=cfg.sigma)
     else:
         orientation_mm = None
-    kpts, _ = _select_keypoints(scores, cfg, margin)
+    kpts, kscores = _select_keypoints(scores, cfg, margin)
     desc = sparse_bad(both, kpts, load_bad_params(cfg.num_pairs),
                       orientation=None, orientation_mm=orientation_mm,
                       binarize=cfg.binarize,
@@ -276,7 +294,7 @@ def _sparse_detect_describe(both: jax.Array, cfg: MatcherConfig,
                       sampling_mode=cfg.sampling_mode,
                       use_pallas=cfg.use_pallas,
                       integer_image=cfg.integer_image)
-    return kpts, desc
+    return kpts, kscores, desc
 
 
 def shi_tomasi_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
@@ -285,8 +303,8 @@ def shi_tomasi_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
 
     Parity: `feature_detection/shi_tomasi_sparse_bad_sinkhorn.py:27-182`.
     """
-    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
-                                         with_angle=False)
+    kpts, _, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                            with_angle=False)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
@@ -302,8 +320,8 @@ def shi_tomasi_angle_sparse_bad_sinkhorn_match(image1: jax.Array,
 
     Parity: `feature_detection/shi_tomasi_angle_sparse_bad_sinkhorn.py:26-180`.
     """
-    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
-                                         with_angle=True)
+    kpts, _, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                            with_angle=True)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
@@ -321,8 +339,8 @@ def shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters(
     Returns:
         keypoints1, keypoints2, P_filtered (B, K+1, K+1), valid_mask (B, K).
     """
-    kpts, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
-                                         with_angle=True)
+    kpts, _, desc = _sparse_detect_describe(_stack_pair(image1, image2), cfg,
+                                            with_angle=True)
     kpts1, kpts2 = _split_pair(kpts)
     desc1, desc2 = _split_pair(desc)
     probs, valid = sinkhorn_match_with_filters(

@@ -227,7 +227,7 @@ def test_flagship_fused_detect_interpret_matches_xla_path(gray_image):
     both = jnp.asarray(rng.uniform(0, 255, (2, 1, 120, 160)).astype(np.float32))
 
     cfg = MatcherConfig(max_keypoints=64)
-    kpts_x, desc_x = _sparse_detect_describe(both, cfg, with_angle=True)
+    kpts_x, _, desc_x = _sparse_detect_describe(both, cfg, with_angle=True)
 
     orig = df.detect_frontend
 
@@ -248,7 +248,7 @@ def test_flagship_fused_detect_interpret_matches_xla_path(gray_image):
 
         ss.sparse_box_sample = interp_s
         try:
-            kpts_p, desc_p = _sparse_detect_describe(both, cfg_p,
+            kpts_p, _, desc_p = _sparse_detect_describe(both, cfg_p,
                                                      with_angle=True)
         finally:
             ss.sparse_box_sample = orig_s

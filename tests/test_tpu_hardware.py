@@ -351,3 +351,50 @@ def test_essential_ransac_pipeline_on_hardware():
             "topk_mode": "block", "essential_ransac": 128, "seed": 97}
     errs = _run_tpu_draw(draw)
     assert not errs, errs
+
+
+def test_streaming_split_on_hardware():
+    """The streaming split (models/streaming.py) on the COMPILED kernel path
+    at production shape — the contract the VO CLI's default streaming mode
+    (and its 3,300-FPS BASELINE row) rests on. Measured hardware behavior:
+    the per-image frontend (detect + select + Pallas sampler) is BIT-EXACT
+    against the stacked two-image graph — keypoints, scores, descriptors
+    equal to the last bit — while the Sinkhorn tail's XLA fusions re-tile in
+    the smaller graph, moving P entries by <= ~1e-5 absolute (measured
+    8.7e-5 max relative): two valid f32 evaluations of the same math, the
+    same class of difference as an XLA version bump. The CPU tier pins full
+    bit-identity of the semantics (tests/test_streaming.py)."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        _sparse_detect_describe, _stack_pair)
+
+    rng = np.random.default_rng(5)
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img1 = jnp.asarray(np.clip(base + rng.normal(0, 3, (h, w)), 0,
+                               255).astype(np.float32)[None, None])
+    img2 = jnp.asarray(np.clip(np.roll(base, 7, 1) + rng.normal(0, 3, (h, w)),
+                               0, 255).astype(np.float32)[None, None])
+    name = "shi_tomasi_angle_sparse_bad_sinkhorn"
+    cfg = models.get(name).defaults.with_(max_keypoints=512)
+    stacked = jax.jit(
+        lambda a, b: _sparse_detect_describe(_stack_pair(a, b), cfg, True))
+    extract, match = models.build_streaming(name, max_keypoints=512)
+
+    # Frontend: bit-exact per image vs the stacked batch.
+    ks, ss, ds = (np.asarray(o) for o in stacked(img1, img2))
+    f1, f2 = extract(img1), extract(img2)
+    for i, f in enumerate((f1, f2)):
+        np.testing.assert_array_equal(np.asarray(f[0])[0], ks[i])
+        np.testing.assert_array_equal(np.asarray(f[1])[0], ss[i])
+        np.testing.assert_array_equal(np.asarray(f[2])[0], ds[i])
+
+    # Full composition vs the two-image graph: keypoints exact, P within
+    # f32 fusion tolerance.
+    k1r, k2r, pr = models.build(name, max_keypoints=512)(img1, img2)
+    k1s, k2s, ps = match(f1, f2)
+    np.testing.assert_array_equal(np.asarray(k1s), np.asarray(k1r))
+    np.testing.assert_array_equal(np.asarray(k2s), np.asarray(k2r))
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pr),
+                               atol=1e-4, rtol=1e-3)
