@@ -33,6 +33,12 @@ def parse_args(argv=None):
                    help="shape-polymorphic artifacts (reference --dynamic-axes"
                         " parity); only pipelines with symbolic-dim support, "
                         "default model set narrows accordingly")
+    p.add_argument("--streaming", action="store_true",
+                   help="export the streaming split instead: TWO artifacts "
+                        "per matcher (<name>.extract / <name>.match) for "
+                        "feature-cached sequential serving "
+                        "(models/streaming.py); default model set narrows to "
+                        "the supported sparse matchers")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the artifact load-and-call round trip")
     add_platform_arg(p)
@@ -101,6 +107,33 @@ def _verify_poly_roundtrip(path, name, height, width, overrides):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _verify_streaming_roundtrip(path_ex, path_ma, name, height, width,
+                                overrides):
+    """Reload the streaming artifact pair and check the composition equals
+    the live TWO-IMAGE pipeline on a real input (the streaming contract)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = models.get(name)
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 1, height, width))
+                       .astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 1, height, width))
+                       .astype(np.float32))
+    extra = ()
+    if spec.takes_k_inv:
+        extra = (jnp.asarray(np.linalg.inv(np.array(
+            [[500., 0, width / 2], [0, 500., height / 2], [0, 0, 1]],
+            np.float32))),)
+    extract = models.load_exported(path_ex)
+    match = models.load_exported(path_ma)
+    got = match(extract(img1), extract(img2), *extra)
+    want = models.build(name, **overrides)(img1, img2, *extra)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def _verify_roundtrip(path, name, height, width, overrides):
     """Reload the artifact and check it reproduces the live pipeline bit-exactly."""
     import jax
@@ -138,6 +171,9 @@ def main(argv=None):
 
     platform = (args.platform if args.platform != "auto"
                 else jax.default_backend())
+    if args.dynamic and args.streaming:
+        print("error: --dynamic and --streaming are mutually exclusive")
+        return 2
     if args.dynamic:
         names = args.models or sorted(models.POLYMORPHIC_EXPORTS)
         if not args.output_dir:
@@ -145,6 +181,12 @@ def main(argv=None):
             # export must serialize to verify, so require an explicit
             # destination rather than silently littering the cwd.
             print("error: --dynamic requires --output-dir "
+                  "(artifacts must be written somewhere to be verified)")
+            return 2
+    elif args.streaming:
+        names = args.models or models.streaming_names()
+        if not args.output_dir:
+            print("error: --streaming requires --output-dir "
                   "(artifacts must be written somewhere to be verified)")
             return 2
     else:
@@ -171,6 +213,23 @@ def main(argv=None):
                         f"{os.path.basename(path)} "
                         f"({os.path.getsize(path) / 1e6:.2f} MB"
                         f"{', verified @2 shapes' if not args.no_verify else ''})")
+            elif args.streaming:
+                ex, ma = models.export_streaming(
+                    name, args.height, args.width, platform=platform,
+                    **overrides)
+                path_ex = models.save_exported(ex, models.artifact_path(
+                    args.output_dir, name + ".extract", platform))
+                path_ma = models.save_exported(ma, models.artifact_path(
+                    args.output_dir, name + ".match", platform))
+                if not args.no_verify:
+                    _verify_streaming_roundtrip(path_ex, path_ma, name,
+                                                args.height, args.width,
+                                                overrides)
+                dt = time.perf_counter() - t0
+                line = (f"[OK]   {name}: streaming export in {dt:.1f}s -> "
+                        f"{os.path.basename(path_ex)} + "
+                        f"{os.path.basename(path_ma)}"
+                        f"{', verified' if not args.no_verify else ''}")
             elif args.output_dir:
                 # The export IS the compile check (it traces and lowers the
                 # same graph); don't also build a throwaway AOT executable.

@@ -25,6 +25,7 @@ from .serialize import (
     POLYMORPHIC_EXPORTS,
     export_model,
     export_model_polymorphic,
+    export_streaming,
     export_to_dir,
     load_exported,
     save_exported,
@@ -58,6 +59,7 @@ __all__ = [
     "POLYMORPHIC_EXPORTS",
     "export_model",
     "export_model_polymorphic",
+    "export_streaming",
     "export_to_dir",
     "load_exported",
     "save_exported",

@@ -170,6 +170,45 @@ def export_model(name: str, height: int, width: int, batch: int = 1,
     return jax.export.export(fn, platforms=platforms)(*args)
 
 
+def export_streaming(name: str, height: int, width: int, batch: int = 1,
+                     cfg: MatcherConfig | None = None,
+                     platform: str | None = None,
+                     **overrides) -> tuple[jax.export.Exported,
+                                           jax.export.Exported]:
+    """Serialize the streaming split (`models/streaming.py`) as TWO artifacts.
+
+    Returns ``(extract, match)`` Exported objects: ``extract`` takes one
+    (B, 1, H, W) image and emits the (keypoints, scores, descriptors)
+    feature set; ``match`` takes two feature sets (+ ``k_inv`` for the
+    essential pipelines) and emits the matcher outputs. Together they are
+    the deployable form of the VO CLI's default serving mode — a consumer
+    caches the previous frame's features and runs detect/describe once per
+    frame, which no single two-image artifact can express (the reference's
+    ONNX graphs recompute both frames every ``session.run``).
+    """
+    from .streaming import build_streaming
+
+    base = name.removesuffix("_extraction")
+    spec = registry.get(base)
+    if platform is not None and "use_pallas" not in overrides and (
+            cfg is None or cfg.use_pallas is None):
+        overrides["use_pallas"] = platform == "tpu"
+    extract, match = build_streaming(name, cfg, **overrides)
+    resolved = registry.resolve_config(spec, cfg, **overrides)
+    img = jax.ShapeDtypeStruct((batch, 1, height, width), jnp.float32)
+    k, p = resolved.max_keypoints, resolved.num_pairs
+    feats = (jax.ShapeDtypeStruct((batch, k, 2), jnp.float32),
+             jax.ShapeDtypeStruct((batch, k), jnp.float32),
+             jax.ShapeDtypeStruct((batch, k, p), jnp.float32))
+    extra = ((jax.ShapeDtypeStruct((3, 3), jnp.float32),)
+             if spec.takes_k_inv else ())
+    platforms = (platform,) if platform is not None else None
+    exported_extract = jax.export.export(extract, platforms=platforms)(img)
+    exported_match = jax.export.export(match, platforms=platforms)(
+        feats, feats, *extra)
+    return exported_extract, exported_match
+
+
 def artifact_path(out_dir: str, name: str, platform: str,
                   polymorphic: bool = False) -> str:
     tag = ".poly" if polymorphic else ""

@@ -199,3 +199,27 @@ def test_standalone_export_roundtrip(name, tmp_path):
     loaded = loaded if isinstance(loaded, (tuple, list)) else (loaded,)
     for a, b in zip(live, loaded):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_streaming_roundtrip(tmp_path):
+    """The streaming split serializes as TWO artifacts whose composition is
+    bit-exact (CPU) against the live two-image pipeline — the deployable
+    form of the VO CLI's feature-cached serving mode."""
+    name = "shi_tomasi_angle_sparse_bad_sinkhorn"
+    h, w = 64, 80
+    ex, ma = models.export_streaming(name, h, w, platform="cpu",
+                                     max_keypoints=32, use_pallas=False)
+    p_ex = models.save_exported(
+        ex, models.artifact_path(str(tmp_path), name + ".extract", "cpu"))
+    p_ma = models.save_exported(
+        ma, models.artifact_path(str(tmp_path), name + ".match", "cpu"))
+
+    rng = np.random.default_rng(7)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+    extract = models.load_exported(p_ex)
+    match = models.load_exported(p_ma)
+    got = match(extract(img1), extract(img2))
+    want = models.build(name, max_keypoints=32, use_pallas=False)(img1, img2)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
