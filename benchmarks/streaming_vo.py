@@ -13,8 +13,13 @@ extracts from a perturbed image that depends on the previous match output,
 and the carry holds the new frame's features — exactly the VO loop's device
 data flow.
 
+``--batch B`` measures BATCHED streaming instead (multi-stream serving:
+extract/match are batch-parallel by construction, so B independent streams
+advance one frame per step — B cached references, B new frames, B matches).
+
 Usage: python benchmarks/streaming_vo.py [--kpts 512] [--size 480 640]
        [--model shi_tomasi_angle_sparse_bad_sinkhorn] [--essential]
+       [--batch B]
 Output: one JSON line per variant.
 """
 
@@ -42,6 +47,41 @@ def _images(h, w, seed=0):
             img2.astype(np.float32)[None, None])
 
 
+def _run_batched(args, name, h, w):
+    """Batched multi-stream streaming: B cached references x B new frames."""
+    import jax.numpy as jnp
+
+    from onnx_image_processing_tpu import models
+
+    b = args.batch
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+
+    def mk(shift):
+        return jnp.asarray(np.stack(
+            [np.clip(np.roll(base, shift + i, 1) + rng.normal(0, 3, (h, w)),
+                     0, 255) for i in range(b)])[:, None].astype(np.float32))
+
+    extract, match = models.build_streaming(name, max_keypoints=args.kpts)
+
+    def step(img, feats_prev):
+        feats = extract(img)
+        out = match(feats_prev, feats)
+        s = out[2].sum()  # depend on every stream's P (DCE-proof)
+        return s, (img + s * 1e-12, feats)
+
+    ms = chain_time(step, (mk(7), extract(mk(0))), n=30)
+    print(json.dumps({
+        "bench": "streaming_vo_batched", "model": name, "kpts": args.kpts,
+        "size": [h, w], "batch": b,
+        "ms_per_step": round(ms, 4),
+        "ms_per_pair": round(ms / b, 4),
+        "pairs_per_s": round(b * 1e3 / ms, 1),
+    }))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--kpts", type=int, default=512)
@@ -49,6 +89,11 @@ def main(argv=None):
     ap.add_argument("--model", default="shi_tomasi_angle_sparse_bad_sinkhorn")
     ap.add_argument("--essential", action="store_true",
                     help="use the *_essential_matrix variant (adds k_inv)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="measure batched streaming at this many concurrent "
+                         "streams instead of the two-image comparison "
+                         "(sweet spot B=8 on v5e; B>=12 loses ~10-20%% to "
+                         "the detect-stage fusion drift, BASELINE.md)")
     args = ap.parse_args(argv)
 
     setup_cache()
@@ -58,6 +103,8 @@ def main(argv=None):
 
     name = args.model + ("_essential_matrix" if args.essential else "")
     h, w = args.size
+    if args.batch:
+        return _run_batched(args, name, h, w)
     img1, img2 = (jnp.asarray(i) for i in _images(h, w))
     kw = dict(max_keypoints=args.kpts)
     k_inv = jnp.asarray(np.linalg.inv(np.array(
