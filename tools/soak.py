@@ -505,6 +505,12 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
         # or the in-graph vectorized RANSAC (+2 polish) — both compiled
         # graphs belong in the fuzz space.
         "essential_ransac": int(rng.choice([0, 128])),
+        # ~1/3 of flagship/essential draws also run the STREAMING split
+        # (models/streaming.py) on the same inputs and check it against the
+        # stacked graph — fuzzes the split across shapes/configs on hardware
+        # (AKAZE excluded only for compile budget; its split is pinned by the
+        # CPU tier).
+        "streaming": bool(rng.integers(0, 3) == 0),
         "seed": int(rng.integers(0, 2**31)),
     }
 
@@ -575,6 +581,32 @@ def _run_tpu_draw(draw: dict) -> list[str]:
     out_t = [np.asarray(v) for v in run(cfg.with_(use_pallas=True))]
     with jax.default_device(jax.devices("cpu")[0]):
         out_c = [np.asarray(v) for v in run(cfg.with_(use_pallas=False))]
+
+    if draw.get("streaming") and family in ("flagship", "essential"):
+        # Streaming-split consistency on hardware: frontend bit-exact vs the
+        # stacked graph, P within f32 fusion tolerance (the Sinkhorn tail
+        # re-tiles in the smaller graph — see models/streaming.py).
+        from onnx_image_processing_tpu.models import build_streaming
+
+        if family == "essential":
+            s_name = "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"
+            extra = (k_inv,)
+        else:
+            s_name = ("shi_tomasi_angle_sparse_bad_sinkhorn"
+                      if draw["with_angle"]
+                      else "shi_tomasi_sparse_bad_sinkhorn")
+            extra = ()
+        ex_fn, ma_fn = build_streaming(s_name, cfg.with_(use_pallas=True))
+        out_s = [np.asarray(v) for v in
+                 ma_fn(ex_fn(jnp.asarray(img1)), ex_fn(jnp.asarray(img2)),
+                       *extra)]
+        for nm, a, b in (("k1", out_s[0], out_t[0]),
+                         ("k2", out_s[1], out_t[1])):
+            if not (a == b).all():
+                errors.append(f"streaming {nm} != stacked {nm} (bit)")
+        dp = np.abs(out_s[2] - out_t[2]).max()
+        if dp > 1e-4:
+            errors.append(f"streaming P diverges from stacked: max {dp:.2e}")
     if family == "essential":
         k1_t, k2_t, p_t, e_t = out_t
         k1_c, k2_c, p_c, e_c = out_c
