@@ -72,7 +72,9 @@ def shard_batch(fn: Callable, mesh: Mesh, axis_name: str = "batch",
                          "(expected 'shard_map' or 'jit')")
 
     def wrapped(*args):
-        for a in args:
+        # Pytree-aware: arguments may be feature tuples (the streaming
+        # split's (kpts, scores, desc) sets), not just arrays.
+        for a in jax.tree.leaves(args):
             if a.shape[0] % mesh.devices.size != 0:
                 raise ValueError(
                     f"batch {a.shape[0]} not divisible by mesh size "

@@ -273,3 +273,30 @@ def test_composed_fleet_unit_shard_map_zero_collectives(mesh):
     for coll in ("collective-permute", "all-gather", "all-to-all",
                  "all-reduce"):
         assert coll not in hlo, f"{coll} found in composed shard_map HLO"
+
+
+def test_streaming_shards_over_mesh(mesh):
+    """The streaming serving unit over the mesh (dryrun config 4): extract +
+    feature-cached match, one stream per device. The feature pytree must
+    shard through shard_batch, and the sharded composition must equal the
+    unsharded one (zero collectives by construction — same property as the
+    two-image composition)."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import device_put_batch
+
+    ex_fn, ma_fn = models.build_streaming(
+        "shi_tomasi_angle_sparse_bad_sinkhorn",
+        max_keypoints=16, num_pairs=256, use_pallas=False)
+    b = mesh.devices.size
+    rng = np.random.default_rng(4)
+    f0 = rng.uniform(0, 255, (b, 1, 48, 64)).astype(np.float32)
+    f1 = rng.uniform(0, 255, (b, 1, 48, 64)).astype(np.float32)
+
+    sharded_ex = shard_batch(ex_fn, mesh)
+    sharded_ma = shard_batch(lambda a, c: ma_fn(a, c), mesh)
+    feats0 = sharded_ex(device_put_batch(f0, mesh))
+    out_sharded = sharded_ma(feats0, sharded_ex(device_put_batch(f1, mesh)))
+
+    out_local = ma_fn(ex_fn(jnp.asarray(f0)), ex_fn(jnp.asarray(f1)))
+    for a, b_ in zip(out_sharded, out_local):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
