@@ -50,10 +50,14 @@ def _top_k(vals: jax.Array, k: int, approx: bool):
     PartialReduce op).
 
     The exact path auto-selects the chunked two-level merge
-    (:func:`_chunked_top_k`, bit-exact) when the row is long relative to k —
-    n >= 64k, with chunks of >= 4k — which is where the single deep sort
-    loses (3.4x at 1080p block-grid scale); at smaller n/k (480p block
-    grids, measured break-even or worse) the plain ``lax.top_k`` stays.
+    (:func:`_chunked_top_k`, bit-exact) when it measures faster than the
+    single deep sort (v5e break-even grid, round 4): always at n >= 64k
+    (3-3.6x at 1080p block-grid scale, any row count), and additionally for
+    NARROW batches (b <= 4 rows after the rank-2 fold) from n >= 16k —
+    b=2, n=10240 (the 480p single-pair shape) measures 69 -> 26 us (2.7x),
+    while the same n at b >= 12 (vmapped multi-pair folds) measures SLOWER
+    (0.6-0.8x: the first-stage sort's b*c rows dominate), so wide folds
+    keep the plain ``lax.top_k`` below the 64k gate.
 
     Rank discipline: a ``custom_vmap`` rule collapses any vmap batching back
     to rank 2 before the selection runs. XLA's TopkRewriter only rewrites
@@ -71,10 +75,11 @@ def _top_k_rank2(k: int, approx: bool):
         if approx:
             return tuple(jax.lax.approx_max_k(vals, k, recall_target=0.95,
                                               aggregate_to_topk=True))
-        n = vals.shape[-1]
-        # isinstance: symbolic n (shape-polymorphic export) takes the plain
-        # path — chunk counts are compile-time structure.
-        if isinstance(n, int) and n >= 64 * k:
+        b, n = vals.shape
+        # isinstance: symbolic dims (shape-polymorphic export) take the
+        # plain path — chunk counts are compile-time structure.
+        if (isinstance(n, int) and isinstance(b, int)
+                and (n >= 64 * k or (b <= 4 and n >= 16 * k))):
             c = 1
             while n // (2 * c) >= 4 * k and c < 32:
                 c *= 2
