@@ -183,6 +183,58 @@ def test_voxel_downsampling_properties():
     assert int(np.asarray(mask2).sum()) == 200
 
 
+def _voxel_f64_oracle(pts: np.ndarray, leaf: float):
+    """Centroids per voxel in sorted-key order, float64."""
+    vox = np.floor(pts.astype(np.float64) / leaf).astype(np.int64)
+    vox -= vox.min(0)
+    vmax = vox.max(0)
+    key = vox[:, 0]
+    for a in range(1, pts.shape[1]):
+        key = key * (vmax[a] + 1) + vox[:, a]
+    order = np.argsort(key, kind="stable")
+    sk, sp = key[order], pts.astype(np.float64)[order]
+    _, start = np.unique(sk, return_index=True)
+    ends = np.append(start[1:], len(sk))
+    return np.stack([sp[s:e].mean(0) for s, e in zip(start, ends)])
+
+
+def test_voxel_downsampling_precision_at_scale():
+    """The residual prefix sum stays within 2e-4 of a float64 oracle at the
+    config-3 benchmark scale (N=38.4k) — a raw-coordinate prefix sum (the
+    reference's formulation, `voxel_downsampling.py:60-75`) is ~3e-3 here."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-3, 3, (38400, 3)).astype(np.float32)
+    out, mask = voxel_downsampling(jnp.asarray(pts), jnp.asarray(np.float32(0.05)))
+    oracle = _voxel_f64_oracle(pts, 0.05)
+    m = int(np.asarray(mask).sum())
+    assert m == len(oracle)
+    err = np.abs(np.asarray(out)[:m] - oracle).max()
+    assert err < 2e-4, err
+
+
+def test_voxel_downsampling_edge_cases():
+    # Single point.
+    out, mask = voxel_downsampling(jnp.asarray([[0.3, 0.4, 0.5]], np.float32),
+                                   jnp.asarray(np.float32(1.0)))
+    assert np.asarray(mask).tolist() == [True]
+    np.testing.assert_allclose(np.asarray(out)[0], [0.3, 0.4, 0.5], atol=1e-6)
+    # Exact duplicates collapse to one centroid equal to the point.
+    dup = np.tile(np.array([[1.25, -0.5, 2.0]], np.float32), (17, 1))
+    out, mask = voxel_downsampling(jnp.asarray(dup), jnp.asarray(np.float32(0.1)))
+    assert int(np.asarray(mask).sum()) == 1
+    np.testing.assert_allclose(np.asarray(out)[0], dup[0], atol=1e-5)
+    # Already-sorted and reverse-sorted inputs agree with the oracle.
+    grid = np.stack(np.meshgrid(*[np.linspace(-1, 1, 9)] * 3),
+                    -1).reshape(-1, 3).astype(np.float32)
+    for pts in (grid, grid[::-1].copy()):
+        out, mask = voxel_downsampling(jnp.asarray(pts),
+                                       jnp.asarray(np.float32(0.37)))
+        oracle = _voxel_f64_oracle(pts, 0.37)
+        m = int(np.asarray(mask).sum())
+        assert m == len(oracle)
+        np.testing.assert_allclose(np.asarray(out)[:m], oracle, atol=1e-5)
+
+
 @requires_reference
 def test_multi_otsu_two_class_matches_reference(int_image):
     import torch
