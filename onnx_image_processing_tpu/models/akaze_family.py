@@ -48,6 +48,15 @@ def akaze_sparse_detect_describe(images: jax.Array, cfg: MatcherConfig):
     Returns:
         keypoints (B, K, 2), scores (B, K), descriptors (B, K, P).
     """
+    # Orientation stays a DENSE map here, unlike the Shi-Tomasi frontend's
+    # sampled moments: measured on v5e the per-keypoint tie select (sampling
+    # ss/m10/m01 at K points, 9 gathers or 1 stacked gather) is 5-12% SLOWER
+    # e2e (0.878 dense vs 0.922/0.984 ms sampled) — XLA fuses the S dense
+    # atan2 passes and the tie multiply-sum into the moment-conv epilogues
+    # for free, while the gathers are real added ops. The sampled
+    # formulation remains available (`ops/akaze.py::akaze_detect_parts` +
+    # `sparse_bad(angles=...)`, bit-equality pinned in
+    # tests/test_pipelines.py) for callers that never need dense maps.
     scores, orient = akaze_detect_cfg(images, cfg)
     margin = _resolve_border_margin(cfg, sparse=True)
     kpts, kscores = _select_keypoints(scores, cfg, margin)

@@ -106,8 +106,8 @@ def hessian_score(image: jax.Array, threshold: float = 0.001,
     return jnp.maximum(response * mask.astype(response.dtype), 0.0)[:, None]
 
 
-def _orientation_zero(image_bhw: jax.Array, patch_size: int, sigma: float) -> jax.Array:
-    """Gaussian-weighted first-moment orientation (zero padding), on (B, H, W)."""
+def _moments_zero(image_bhw: jax.Array, patch_size: int, sigma: float):
+    """Gaussian-weighted first moments (m10, m01), zero padding, (B, H, W)."""
     half = patch_size // 2
     g = gaussian_taps(sigma, patch_size)
     t = np.arange(-half, half + 1, dtype=np.float32)
@@ -115,6 +115,12 @@ def _orientation_zero(image_bhw: jax.Array, patch_size: int, sigma: float) -> ja
     xp = pad2d(image_bhw, half, half, mode="zero")
     m10 = conv1d_w(conv1d_h(xp, g), tg)
     m01 = conv1d_w(conv1d_h(xp, tg), g)
+    return m10, m01
+
+
+def _orientation_zero(image_bhw: jax.Array, patch_size: int, sigma: float) -> jax.Array:
+    """Gaussian-weighted first-moment orientation (zero padding), on (B, H, W)."""
+    m10, m01 = _moments_zero(image_bhw, patch_size, sigma)
     return jnp.arctan2(m01, m10)
 
 
@@ -148,6 +154,38 @@ def akaze_detect(
     every platform and the kernel remains an opt-in measured alternative.
     atan2 and the scale select run outside the kernel either way.
     """
+    ss, m10, m01 = akaze_detect_parts(
+        image, num_scales=num_scales,
+        diffusion_iterations=diffusion_iterations, kappa=kappa,
+        threshold=threshold, nms_size=nms_size,
+        orientation_patch_size=orientation_patch_size,
+        orientation_sigma=orientation_sigma, use_pallas=use_pallas)
+    return _scale_select(ss, jnp.arctan2(m01, m10))
+
+
+def akaze_detect_parts(
+    image: jax.Array,
+    num_scales: int = 3,
+    diffusion_iterations: int = 3,
+    kappa: float = 0.05,
+    threshold: float = 0.001,
+    nms_size: int = 5,
+    orientation_patch_size: int = 15,
+    orientation_sigma: float = 2.5,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-scale AKAZE maps without the dense orientation tail.
+
+    Returns ``(scale_scores, m10, m01)``, each (S, B, H, W). The sparse
+    pipelines consume orientation only at the K selected keypoints, so they
+    sample these maps there and apply atan2 + the tie-normalized scale select
+    per keypoint (`models/akaze_family.py`) — bit-identical to sampling the
+    dense maps (nearest gather commutes with the elementwise select formula)
+    while skipping S dense atan2 passes and the dense orientation select.
+    :func:`akaze_detect` layers exactly that dense tail on top for the
+    reference-shaped (scores, orientations) interface
+    (`pytorch_model/detector/akaze.py:318-453`).
+    """
     if use_pallas is None:
         use_pallas = False
     if use_pallas:
@@ -159,26 +197,25 @@ def akaze_detect(
             threshold=threshold, nms_size=nms_size,
             orientation_patch_size=orientation_patch_size,
             orientation_sigma=orientation_sigma)
-        all_scores = jnp.moveaxis(scores_s, 1, 0)    # (S, B, H, W)
-        all_orients = jnp.arctan2(jnp.moveaxis(m01, 1, 0),
-                                  jnp.moveaxis(m10, 1, 0))
-        return _scale_select(all_scores, all_orients)
+        return (jnp.moveaxis(scores_s, 1, 0), jnp.moveaxis(m10, 1, 0),
+                jnp.moveaxis(m01, 1, 0))
 
     current = image.astype(jnp.float32)
     scores_list = []
-    orient_list = []
+    m10_list = []
+    m01_list = []
     for _ in range(num_scales):
         current = nonlinear_diffusion(current, num_iterations=diffusion_iterations,
                                       kappa=kappa)
         scores_list.append(hessian_score(current, threshold=threshold,
                                          nms_size=nms_size)[:, 0])
-        orient_list.append(_orientation_zero(current[:, 0],
-                                             orientation_patch_size,
-                                             orientation_sigma))
+        m10, m01 = _moments_zero(current[:, 0], orientation_patch_size,
+                                 orientation_sigma)
+        m10_list.append(m10)
+        m01_list.append(m01)
 
-    all_scores = jnp.stack(scores_list, axis=0)      # (S, B, H, W)
-    all_orients = jnp.stack(orient_list, axis=0)
-    return _scale_select(all_scores, all_orients)
+    return (jnp.stack(scores_list, axis=0), jnp.stack(m10_list, axis=0),
+            jnp.stack(m01_list, axis=0))
 
 
 def _scale_select(all_scores: jax.Array, all_orients: jax.Array):

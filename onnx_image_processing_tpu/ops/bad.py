@@ -323,6 +323,7 @@ def sparse_bad(
     use_pallas: bool | None = None,
     integer_image: bool = False,
     orientation_mm: tuple[jax.Array, jax.Array] | None = None,
+    angles: jax.Array | None = None,
 ) -> jax.Array:
     """BAD descriptors at keypoint locations only.
 
@@ -348,6 +349,11 @@ def sparse_bad(
             the dense ``arctan2(m01, m10)`` map (nearest sampling commutes
             with elementwise ops) without materializing it. Mutually
             exclusive with ``orientation``.
+        angles: optional (B, K) per-keypoint rotation angles (radians),
+            already sampled/selected by the caller (e.g. the AKAZE
+            tie-normalized scale select at keypoints,
+            `models/akaze_family.py`). Mutually exclusive with the map
+            forms above.
         sampling_mode: 'nearest' (default, reference default) or 'bilinear'.
         use_pallas: force the Pallas (True) or jnp (False) sampler; None picks
             by the default device platform.
@@ -386,9 +392,12 @@ def sparse_bad(
     off_x_j = jnp.asarray(layout.off_x)[None, None, :]
     group_bounds = layout.groups
 
-    if orientation_mm is not None and orientation is not None:
-        raise ValueError("pass either orientation or orientation_mm, not both")
-    if orientation_mm is not None:
+    if sum(o is not None for o in (orientation, orientation_mm, angles)) > 1:
+        raise ValueError(
+            "pass at most one of orientation, orientation_mm, angles")
+    if angles is not None:
+        theta = angles.astype(jnp.float32)  # (B, K)
+    elif orientation_mm is not None:
         m10_s = sample_nearest(orientation_mm[0].astype(jnp.float32)[:, 0], ky, kx)
         m01_s = sample_nearest(orientation_mm[1].astype(jnp.float32)[:, 0], ky, kx)
         theta = jnp.arctan2(m01_s, m10_s)  # (B, K)

@@ -216,6 +216,46 @@ def test_akaze_matcher_parity(gray_image_pair):
     np.testing.assert_allclose(p_aligned, p_e.numpy()[0], atol=2e-3)
 
 
+def test_akaze_sampled_orientation_matches_dense(gray_image_pair):
+    """The AKAZE frontend's per-keypoint tie-normalized orientation select is
+    BIT-equal to sampling the dense orientation map built from the SAME
+    per-scale parts: nearest gather commutes with the elementwise select
+    (`models/akaze_family.py`). End-to-end numerics vs the reference are
+    covered by ``test_akaze_matcher_parity``."""
+    import jax
+
+    from onnx_image_processing_tpu.models.shi_tomasi_family import (
+        _resolve_border_margin, _select_keypoints)
+    from onnx_image_processing_tpu.ops.akaze import (
+        _scale_select, akaze_detect_parts)
+    from onnx_image_processing_tpu.ops.sampling import sample_nearest
+
+    img1, img2 = gray_image_pair
+    images = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)], axis=0)
+    cfg = MatcherConfig(max_keypoints=96, num_pairs=256)
+
+    ss, m10, m01 = akaze_detect_parts(images)          # shared ground truth
+    scores = jnp.max(ss, axis=0)[:, None]
+    margin = _resolve_border_margin(cfg, sparse=True)
+    kpts, _ = _select_keypoints(scores, cfg, margin)
+    ky, kx = kpts[..., 0], kpts[..., 1]
+
+    # Dense formulation: full orientation map, sampled at keypoints.
+    _, orient_dense = _scale_select(ss, jnp.arctan2(m01, m10))
+    theta_dense = sample_nearest(orient_dense[:, 0], ky, kx)
+
+    # Frontend formulation: sample the parts, select per keypoint.
+    at_k = jax.vmap(lambda m: sample_nearest(m, ky, kx))
+    ss_k = at_k(ss)
+    theta_s = jnp.arctan2(at_k(m01), at_k(m10))
+    tie = (ss_k == ss_k.max(axis=0, keepdims=True)).astype(jnp.float32)
+    tie = tie / jnp.maximum(tie.sum(axis=0, keepdims=True), 1.0)
+    theta_sampled = (theta_s * tie).sum(axis=0)
+
+    np.testing.assert_array_equal(np.asarray(theta_sampled),
+                                  np.asarray(theta_dense))
+
+
 def test_essential_pipeline_outputs(gray_image_pair):
     """4-output fused pipeline: matcher outputs + rank-2 E (BASELINE config #5)."""
     img1, img2 = gray_image_pair
