@@ -408,3 +408,37 @@ def test_select_frontend_supports_guard():
     assert not sf.supports(480, 640, 8)
     assert sf.supports(2160, 3840, 3)        # 4K still f32-exact
     assert not sf.supports(4096, 8192, 7)    # beyond the 2^24 envelope
+
+
+def test_sinkhorn_kernel_interpret_matches_jnp():
+    """VMEM-resident Sinkhorn kernel (interpret mode) vs the fori_loop path:
+    same recurrence, same f32 LSE — bit-exact on every tested config."""
+    from onnx_image_processing_tpu.kernels.sinkhorn_kernel import sinkhorn_core
+    from onnx_image_processing_tpu.ops.sinkhorn import (_cost_matrix,
+                                                        sinkhorn_match)
+
+    rng = np.random.default_rng(11)
+    for n, m, eps in ((64, 64, 0.05), (60, 90, 1.0), (7, 129, 0.3)):
+        d1 = jnp.asarray(rng.normal(0, 0.5, (2, n, 64)).astype(np.float32))
+        d2 = jnp.asarray(rng.normal(0, 0.5, (2, m, 64)).astype(np.float32))
+        p_jnp = np.asarray(sinkhorn_match(d1, d2, epsilon=eps,
+                                          use_pallas=False))
+
+        # Kernel on the same assembled inputs (interpret mode).
+        cost = np.asarray(_cost_matrix(d1, d2, "l2"))
+        ls = jnp.pad(jnp.asarray(-cost / eps), ((0, 0), (0, 1), (0, 1)),
+                     constant_values=-1.0 / eps)
+        lmu = jnp.concatenate([jnp.zeros((2, n), jnp.float32),
+                               jnp.full((2, 1), np.log(m), jnp.float32)], 1)
+        lnu = jnp.concatenate([jnp.zeros((2, m), jnp.float32),
+                               jnp.full((2, 1), np.log(n), jnp.float32)], 1)
+        p_ker = np.asarray(sinkhorn_core(ls, lmu, lnu, interpret=True))
+        np.testing.assert_allclose(p_ker, p_jnp, atol=1e-6)
+
+
+def test_sinkhorn_kernel_supports_guard():
+    from onnx_image_processing_tpu.kernels import sinkhorn_kernel as sk
+
+    assert sk.supports(513, 513)
+    assert sk.supports(1025, 1025)      # measured on hardware
+    assert not sk.supports(2049, 2049)  # exceeds the VMEM budget
