@@ -68,8 +68,8 @@ def _kernel(ls_ref, lmu_ref, lnu_ref, out_ref, *, iters: int, n1: int,
     rowmask = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) < n1
     colmask = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) < m1
     s = jnp.where(rowmask & colmask, s, _NEG)
-    lmu = lmu_ref[0].reshape(r, 1)
-    lnu = lnu_ref[0].reshape(1, c)
+    lmu = lmu_ref[0]                                   # (R, 1)
+    lnu = lnu_ref[0]                                   # (1, C)
 
     def body(_, uv):
         u, v = uv
@@ -102,15 +102,19 @@ def sinkhorn_core(log_scores: jax.Array, log_mu: jax.Array, log_nu: jax.Array,
     b, n1, m1 = log_scores.shape
     r, c = _round_up(n1, 8), _round_up(m1, 128)
     ls = jnp.pad(log_scores, ((0, 0), (0, r - n1), (0, c - m1)))
-    lmu = jnp.pad(log_mu, ((0, 0), (0, r - n1)))
-    lnu = jnp.pad(log_nu, ((0, 0), (0, c - m1)))
+    # Marginals ride as (B, R, 1) / (B, 1, C) so every block's trailing two
+    # dims are tile-legal for ANY batch (a (1, R) block on a (B, R) array
+    # violates Mosaic's sublane rule as soon as B > 1), and the kernel gets
+    # them pre-shaped for its row/column broadcasts with no relayout.
+    lmu = jnp.pad(log_mu, ((0, 0), (0, r - n1)))[:, :, None]
+    lnu = jnp.pad(log_nu, ((0, 0), (0, c - m1)))[:, None, :]
     out = pl.pallas_call(
         functools.partial(_kernel, iters=iters, n1=n1, m1=m1),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, r, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, r), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, r, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, r, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, r, c), jnp.float32),

@@ -408,9 +408,12 @@ def test_compiled_sinkhorn_kernel_bit_exact_vs_jnp():
     from onnx_image_processing_tpu.ops.sinkhorn import sinkhorn_match
 
     rng = np.random.default_rng(21)
-    for k in (512, 1024):
-        d1 = jnp.asarray(rng.normal(0, 0.5, (1, k, 256)).astype(np.float32))
-        d2 = jnp.asarray(rng.normal(0, 0.5, (1, k, 256)).astype(np.float32))
+    # B=8 @512 pins the batched-serving shape class: a (1, R) marginal
+    # block on a (B, R) array is Mosaic-illegal for B > 1 (caught live in
+    # the B=8 streaming bench), so marginals ride as (B, R, 1) / (B, 1, C).
+    for b, k in ((1, 512), (1, 1024), (8, 512)):
+        d1 = jnp.asarray(rng.normal(0, 0.5, (b, k, 256)).astype(np.float32))
+        d2 = jnp.asarray(rng.normal(0, 0.5, (b, k, 256)).astype(np.float32))
         p_ker = np.asarray(jax.jit(lambda a, b: sinkhorn_match(
             a, b, epsilon=0.05, use_pallas=True))(d1, d2))
         p_jnp = np.asarray(jax.jit(lambda a, b: sinkhorn_match(
