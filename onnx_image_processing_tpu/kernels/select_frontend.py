@@ -64,10 +64,14 @@ def _round_up(x: int, m: int) -> int:
 def supports(h: int, w: int, nms_radius: int) -> bool:
     """Static shape guard for the kernel path.
 
+    * static H/W only: symbolic dims from shape-polymorphic exports take
+      the XLA block path, whose shape arithmetic stays symbolic-safe;
     * radius 1..7: bs = r+1 block geometry, halo 8 covers the NMS window;
     * linear raster indices must stay f32-exact (< 2^24) through the
       selection matmul — true for anything up to 4K.
     """
+    if not (isinstance(h, int) and isinstance(w, int)):
+        return False
     if not 1 <= nms_radius <= 7:
         return False
     bs = nms_radius + 1
@@ -156,10 +160,20 @@ def _select_kernel(
     c = jnp.concatenate(
         [c_sl[i * bs:i * bs + 1, :] for i in range(_ROWS_PER_STEP)], axis=0)
 
-    # Sliding window of width bs along x (lane rolls; wrap never reaches an
-    # anchor column because Wb*bs <= Wp).
-    rolls_t = [t] + [pltpu.roll(t, (-d) % wp, axis=1) for d in range(1, bs)]
-    rolls_c = [c] + [pltpu.roll(c, (-d) % wp, axis=1) for d in range(1, bs)]
+    # Sliding window of width bs along x (lane rolls). REAL anchor columns
+    # j*bs (j < Wb) never read wrapped lanes (Wb*bs <= Wp), but the padded
+    # output keeps PAD anchors in [Wb*bs, Wp) too, and when Wp is not a
+    # multiple of bs a pad anchor within bs-1 lanes of Wp wraps onto real
+    # column-0..bs-2 data — duplicating those keypoints into pad slots. Mask
+    # each roll's wrapped lanes to the pad-neutral values (0 score / sent
+    # index) so pad anchors stay score-0, exactly like non-wrapping ones.
+    colx_b = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    rolls_t = [t] + [
+        jnp.where(colx_b + d < wp, pltpu.roll(t, (-d) % wp, axis=1), 0.0)
+        for d in range(1, bs)]
+    rolls_c = [c] + [
+        jnp.where(colx_b + d < wp, pltpu.roll(c, (-d) % wp, axis=1), sent)
+        for d in range(1, bs)]
     tx = rolls_t[0]
     for d in range(1, bs):
         tx = jnp.maximum(tx, rolls_t[d])

@@ -116,9 +116,10 @@ def build_batched(name: str, cfg: MatcherConfig | None = None,
     composition keeps every stage's B=1-native layout. With the fused Pallas
     select frontend (round 4) the vmapped rate is flat ~0.47-0.48 ms/pair at
     B in {6, 8} (~2,100 pairs/s); batches beyond ``chunk`` (default 6) run as
-    sequential chunk-sized sub-batches via ``lax.map``, which holds that rate
-    at any depth (B >= 12 monolithic graphs measurably degrade in the
-    detect-stage fusions). Results are identical to the stacked call
+    sequential chunk-sized sub-batches via ``lax.map`` — any remainder
+    (B % chunk pairs) executes as one final smaller sub-batch — which holds
+    that rate at any depth (B >= 12 monolithic graphs measurably degrade in
+    the detect-stage fusions). Results are identical to the stacked call
     (tests/test_parallel.py::test_vmap_pairs_matches_stacked); ``chunk=None``
     restores the monolithic vmap. For multi-chip scaling compose with
     `parallel.shard_batch` (one chunked stream per device).

@@ -76,6 +76,13 @@ def _match_with_filters(feats1, feats2, cfg: MatcherConfig):
 
 def _match_essential(feats1, feats2, k_inv, cfg: MatcherConfig):
     (kpts1, ks1, desc1), (kpts2, ks2, desc2) = feats1, feats2
+    if kpts1.shape[0] != 1:
+        # Same invariant as the two-image path (essential_family.py): the
+        # solve consumes pair 0 only, so a bigger batch would silently
+        # return an E fit to one pair.
+        raise ValueError(
+            f"essential-matrix pipelines require batch size 1, "
+            f"got {kpts1.shape[0]}")
     probs = _sinkhorn_cfg(desc1, desc2, cfg)
     e = essential_from_match(kpts1, ks1, kpts2, ks2, probs, k_inv, cfg)
     return kpts1, kpts2, probs, e

@@ -30,6 +30,7 @@ import numpy as np
 
 from .filters import pad2d, box_average_bank
 from .sampling import sample_nearest, sample_bank_fused
+from ..kernels import use_pallas_default
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
@@ -137,7 +138,7 @@ def dense_bad(
 
     if orientation is not None and (
             oriented_route == "tiled"
-            or (oriented_route == "auto" and _use_pallas_default())):
+            or (oriented_route == "auto" and use_pallas_default())):
         return _dense_oriented_tiled(image, params, orientation, binarize,
                                      soft_binarize, temperature)
 
@@ -221,13 +222,6 @@ def _dense_oriented_tiled(image, params, orientation, binarize, soft_binarize,
 # -> 56 (8-aligned) pixels.
 _PATCH_HALF = 23
 _PATCH = 56
-
-
-def _use_pallas_default() -> bool:
-    """Pallas path on TPU-like default devices, jnp path on CPU."""
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return platform != "cpu"
 
 
 class SampleLayout(NamedTuple):
@@ -441,7 +435,7 @@ def sparse_bad(
     groups = tuple(group_bounds)
     bilinear = sampling_mode == "bilinear"
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = use_pallas_default()
     if use_pallas and (b * k) % 8 == 0:
         # Largest keypoint tile that divides K (grid-step overhead amortizes
         # with tile: 0.279 -> 0.222 ms @K=512 going 8 -> 64 on v5e; dividing

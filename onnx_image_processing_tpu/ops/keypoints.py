@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .filters import maxpool2d_same
 from ..kernels import select_frontend
+from ..kernels import use_pallas_default
 
 
 def _chunked_top_k(vals: jax.Array, k: int, c: int):
@@ -94,13 +95,6 @@ def _top_k_rank2(k: int, approx: bool):
         return (tv.reshape(*lead, k), ti.reshape(*lead, k)), (True, True)
 
     return select
-
-
-def _use_pallas_default() -> bool:
-    """Pallas select kernel on TPU-like default devices, XLA path on CPU."""
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return platform != "cpu"
 
 
 def _block_reduce_xla(masked: jax.Array, bs: int, w: int):
@@ -296,7 +290,7 @@ def nms_select_topk(
             use_blocks = False
 
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = use_pallas_default()
     if use_blocks and use_pallas and select_frontend.supports(h, w,
                                                               nms_radius):
         # Top-k runs directly on the kernel's lane/stripe-padded grid (pad

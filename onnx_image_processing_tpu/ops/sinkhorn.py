@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..kernels import use_pallas_default
 
 
 def _cost_matrix(desc1: jax.Array, desc2: jax.Array, distance_type: str) -> jax.Array:
@@ -67,13 +68,6 @@ def _l1_cost(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
     _, out = jax.lax.scan(body, 0, chunks)
     out = jnp.moveaxis(out, 0, 2).reshape(b, n, mp)
     return out[:, :, :m]
-
-
-def _use_pallas_default() -> bool:
-    """Sinkhorn kernel on TPU-like default devices, XLA path on CPU."""
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return platform != "cpu"
 
 
 def sinkhorn_match(
@@ -132,7 +126,7 @@ def sinkhorn_match(
 
     from ..kernels import sinkhorn_kernel
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = use_pallas_default()
     if use_pallas and sinkhorn_kernel.supports(n + 1, m + 1):
         return sinkhorn_kernel.sinkhorn_core(log_scores, log_mu, log_nu,
                                              iters=iterations)

@@ -45,7 +45,8 @@ def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
     Args:
         fn: callable (img1 (1,1,H,W), img2 (1,1,H,W)) -> pytree.
         chunk: optional sub-batch width. When B > chunk the vmap runs inside
-            a sequential ``lax.map`` over B/chunk sub-batches (B must divide),
+            a sequential ``lax.map`` over B//chunk sub-batches, with any
+            remainder (B % chunk pairs) executed as one final smaller vmap —
             so arbitrarily deep batches execute the chunk-sized graph at its
             measured flat rate instead of one giant vmapped graph — beyond
             B~8 the detect-stage stencil fusions lose ~5-10%/pair efficiency
@@ -61,14 +62,20 @@ def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
     def batched(img1, img2):
         b = img1.shape[0]
         if chunk is not None and b > chunk:
-            if b % chunk != 0:
-                raise ValueError(f"batch {b} not divisible by chunk {chunk}")
-            nc = b // chunk
-            c1 = img1.reshape((nc, chunk) + img1.shape[1:])
-            c2 = img2.reshape((nc, chunk) + img2.shape[1:])
+            import jax.numpy as jnp
+            nc, rem = divmod(b, chunk)
+            bf = nc * chunk
+            c1 = img1[:bf].reshape((nc, chunk) + img1.shape[1:])
+            c2 = img2[:bf].reshape((nc, chunk) + img2.shape[1:])
             out = jax.lax.map(lambda ab: vm(ab[0], ab[1]), (c1, c2))
-            return jax.tree_util.tree_map(
-                lambda x: x.reshape((b,) + x.shape[3:]), out)
+            out = jax.tree_util.tree_map(
+                lambda x: x.reshape((bf,) + x.shape[3:]), out)
+            if rem:
+                tail = jax.tree_util.tree_map(
+                    lambda x: x[:, 0], vm(img1[bf:], img2[bf:]))
+                out = jax.tree_util.tree_map(
+                    lambda x, y: jnp.concatenate([x, y], axis=0), out, tail)
+            return out
         out = vm(img1, img2)
         # fn's leaves carry their own leading batch-1 axis; squeeze it so the
         # result looks exactly like the stacked-batch call: (B, ...) leaves.

@@ -408,6 +408,51 @@ def test_select_frontend_supports_guard():
     assert not sf.supports(480, 640, 8)
     assert sf.supports(2160, 3840, 3)        # 4K still f32-exact
     assert not sf.supports(4096, 8192, 7)    # beyond the 2^24 envelope
+    # Symbolic dims (shape-polymorphic export traces) must return False,
+    # not raise InconclusiveDimensionOperation.
+    h_sym, w_sym = jax.export.symbolic_shape("H,W")
+    assert not sf.supports(h_sym, w_sym, 3)
+
+
+@pytest.mark.parametrize("r,w", [(2, 100), (5, 1280), (4, 250), (6, 500)])
+def test_select_frontend_padded_no_wrap_duplicates(r, w):
+    """Pad anchors in the PADDED output layout must stay score-0 even when
+    the lane-roll window wraps around the 128-aligned width (bs does not
+    divide Wp): a wrap onto real column-0..bs-2 data used to duplicate those
+    keypoints into pad slots, which top-k then returned twice."""
+    from onnx_image_processing_tpu.kernels import select_frontend as sf
+    from onnx_image_processing_tpu.ops import keypoints as kp
+
+    bs = r + 1
+    h = 96
+    assert sf._round_up(sf._round_up(w, bs), 128) % bs != 0, \
+        "geometry must be wrap-prone for this regression test"
+    rng = np.random.default_rng(w * 13 + r)
+    scores = rng.uniform(0.0, 1.0, (1, h, w)).astype(np.float32)
+    scores[0, 10, 0] = 5.0          # strongest keypoint, in column 0
+    scores[0, 40, 1] = 4.5          # second strongest, in column 1
+    s = jnp.asarray(scores)
+
+    bm_p, bi_p = sf.nms_block_reduce_padded(s, r, 0.0, 0, interpret=True)
+    bm_o, bi_o = _select_oracle(s, r, 0.0, 0)
+    hb, wb = bm_o.shape[1:]
+    np.testing.assert_array_equal(np.asarray(bm_p[:, :hb, :wb]),
+                                  np.asarray(bm_o))
+    np.testing.assert_array_equal(np.asarray(bi_p[:, :hb, :wb]),
+                                  np.asarray(bi_o))
+    pad = np.asarray(bm_p).copy()
+    pad[:, :hb, :wb] = 0.0
+    assert pad.max() == 0.0, "pad slots must carry score 0.0"
+
+    # End to end: the production padded-layout consumer returns each
+    # keypoint exactly once.
+    kpts, _ = kp.nms_select_topk(s, 16, 0.0, 0, nms_radius=r,
+                                 use_pallas=True, interpret=True)
+    kx, _ = kp.nms_select_topk(s, 16, 0.0, 0, nms_radius=r, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(kpts), np.asarray(kx))
+    valid = np.asarray(kpts)[0]
+    valid = valid[valid[:, 0] >= 0]
+    assert len({tuple(p) for p in valid.tolist()}) == len(valid)
 
 
 def test_sinkhorn_kernel_interpret_matches_jnp():

@@ -233,9 +233,11 @@ def test_vmap_pairs_chunked_matches_monolithic():
     for m, c in zip(mono, small):
         np.testing.assert_array_equal(np.asarray(m), np.asarray(c))
 
-    # Indivisible batches fail loudly, not silently truncate.
-    with pytest.raises(ValueError, match="not divisible"):
-        vmap_pairs(fn, chunk=3)(img1, img2)
+    # Indivisible batches run the remainder as a final smaller sub-batch
+    # (build_batched defaults to chunk=6, so e.g. B=8 must keep working).
+    remainder = vmap_pairs(fn, chunk=3)(img1, img2)
+    for m, c in zip(mono, remainder):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(c))
 
 
 def test_composed_fleet_unit_shard_map_zero_collectives(mesh):

@@ -74,6 +74,21 @@ def test_streaming_essential_ransac_bitexact(gray_image_pair):
     _assert_trees_equal(ours, ref)
 
 
+def test_streaming_essential_rejects_batched_features(gray_image_pair):
+    """Same invariant as the two-image essential path: the solve consumes
+    pair 0 only, so B>1 feature batches must fail loudly instead of silently
+    returning an E fit to one pair."""
+    img1, img2 = (jnp.asarray(i) for i in gray_image_pair)
+    name = "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"
+    k_inv = jnp.asarray(np.linalg.inv(np.array(
+        [[120.0, 0, 80], [0, 120.0, 60], [0, 0, 1]], np.float32)))
+    extract, match = models.build_streaming(name, **_CPU_KW)
+    feats1 = extract(jnp.concatenate([img1, img1], axis=0))
+    feats2 = extract(jnp.concatenate([img2, img2], axis=0))
+    with pytest.raises(ValueError, match="batch size 1"):
+        match(feats1, feats2, k_inv)
+
+
 def test_streaming_feature_cache_reuse(gray_image_pair):
     """The point of the split: a cached feature set matches against several
     new frames without re-extraction, each result equal to the two-image
