@@ -270,6 +270,10 @@ def test_approx_topk_recall_on_hardware():
     (480, 640, 3, 16, 0.01),     # flagship shape
     (1080, 1920, 5, 7, 0.0),     # hi-res serving shape
     (123, 217, 3, 8, 0.05),      # odd, non-multiple-of-block sizes
+    (720, 1280, 5, 0, 0.0),      # wrap-prone (bs=6 does not divide the
+                                 # 128-aligned width) + margin 0: pad
+                                 # anchors must stay score-0 under the
+                                 # compiled lane-roll masking
 ])
 def test_compiled_select_frontend_bitexact(h, w, r, margin, thr):
     """Compiled Mosaic select frontend vs the CPU XLA reduce_window path: the
@@ -280,6 +284,15 @@ def test_compiled_select_frontend_bitexact(h, w, r, margin, thr):
 
     rng = np.random.default_rng(h + w)
     scores = rng.random((1, h, w), dtype=np.float32)
+    scores[0, 10, 0] = 5.0       # strongest keypoint in column 0: the
+    scores[0, 40, 1] = 4.5       # wrap-duplicate regression's trigger
+    bm_pad, _ = (np.asarray(o) for o in
+                 sf.nms_block_reduce_padded(jnp.asarray(scores), r, thr,
+                                            margin))
+    _, _, hb_t, wb_t = sf.padded_geometry(h, w, r)
+    pad_only = bm_pad.copy()
+    pad_only[:, :hb_t, :wb_t] = 0.0
+    assert pad_only.max() == 0.0, "pad slots must carry score 0.0"
     bm_t, bi_t = (np.asarray(o) for o in
                   sf.nms_block_reduce(jnp.asarray(scores), r, thr, margin))
     with jax.default_device(_cpu()):
