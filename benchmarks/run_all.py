@@ -69,7 +69,11 @@ def bench_shi_tomasi_dense_bad():
     def step(img, _unused):
         s = shi_tomasi_score(img, block_size=3)[:, 0]
         # Pipeline-standard fused selection (Pallas frontend + block top-k;
-        # same 1000-keypoint set as the flat sort on this map, verified).
+        # same 1000-keypoint set as the flat sort on THIS bench image,
+        # verified — not guaranteed in general: block top-k keeps one
+        # representative per (r+1)^2 block under within-block score ties,
+        # where the flat sort keeps every tied copy. Round-3-and-earlier FPS
+        # columns for this config measured the flat-sort selection.
         # The previous two-step nms_maxpool + select_topk_keypoints call
         # sorted all 307k pixels: 797 -> 409 us/frame.
         kpts, _ = nms_select_topk(s, 1000, nms_radius=3)

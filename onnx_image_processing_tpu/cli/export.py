@@ -72,12 +72,15 @@ def _poly_test_args(name, overrides, height, width, scale=1):
     if name == "voxel_downsampling":
         return (jnp.asarray(rng.uniform(0, 2, (1000 * scale, 3)).astype(np.float32)),
                 jnp.asarray(np.float32(0.05)))
-    if spec.n_images == 2:
-        # Composite matchers: the symbolic scope requires enough NMS blocks
-        # for max_keypoints (ceil(H/bs)*ceil(W/bs) >= K); 192x256 holds the
-        # registry default K=1024 at bs=6.
+    if spec.n_images == 2 or name == "shi_tomasi_angle_sparse_bad":
+        # Composite matchers + the sparse single-image head: the symbolic
+        # scope requires enough NMS blocks for max_keypoints
+        # (ceil(H/bs)*ceil(W/bs) >= K); 192x256 holds the registry default
+        # K=1024 at bs=6.
         h, w = 144 + 48 * scale, 208 + 48 * scale
         img = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+        if spec.n_images == 1:
+            return (img,)
         img2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
         if spec.takes_k_inv:
             k_inv = jnp.asarray(np.linalg.inv(np.array(

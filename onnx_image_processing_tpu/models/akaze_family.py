@@ -85,5 +85,6 @@ def akaze_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                            epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
+                           distance_type=cfg.distance_type,
+                           use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs

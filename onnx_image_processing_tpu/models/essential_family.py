@@ -62,7 +62,8 @@ def _matcher_with_essential(image1, image2, k_inv, cfg: MatcherConfig,
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                            epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
+                           distance_type=cfg.distance_type,
+                           use_pallas=cfg.use_pallas)
     e = essential_from_match(kpts1, ks1, kpts2, ks2, probs, k_inv, cfg)
     return kpts1, kpts2, probs, e
 

@@ -258,7 +258,8 @@ register(PipelineSpec(
     "sinkhorn",
     lambda d1, d2, cfg: sinkhorn_match(
         d1, d2, iterations=cfg.sinkhorn_iterations, epsilon=cfg.epsilon,
-        unused_score=cfg.unused_score, distance_type=cfg.distance_type),
+        unused_score=cfg.unused_score, distance_type=cfg.distance_type,
+        use_pallas=cfg.use_pallas),
     0, _BASE,
     "standalone Sinkhorn matcher on (B, K, D) descriptor tensors "
     "(reference export_sinkhorn.py)",

@@ -106,22 +106,52 @@ def _sym_args_matcher_k_inv(cfg: MatcherConfig):
                                                           jnp.float32),)
 
 
-#: pipelines exportable with symbolic dimensions -> arg-spec builder
+def _sym_args_sparse_head(cfg: MatcherConfig):
+    """Symbolic (1, 1, H, W) for the single-image SPARSE heads (keypoints +
+    descriptors): same top-k block-grid constraint as the composite matchers
+    (`_sym_args_matcher`), one image input."""
+    return _sym_args_matcher(cfg)[:1]
+
+
+#: pipelines exportable with symbolic dimensions -> arg-spec builder.
+#: Round 5: EVERY registry name is here — full reference --dynamic-axes
+#: parity (every reference export script takes the flag, e.g.
+#: `onnx_export/export_akaze_sparse_bad_sinkhorn.py:203,268-280`,
+#: `export_shi_tomasi_bad_sinkhorn.py:162-164`). K (max_keypoints) and the
+#: descriptor pair count stay compile-time structure; H/W (and batch, for the
+#: dense heads) are symbolic. The AKAZE FED ladder is a pure stencil loop
+#: (static scale/iteration counts, zero-padded convs), so it traces
+#: symbolically like the Shi-Tomasi stencils — nothing blocks it.
 POLYMORPHIC_EXPORTS = {
     "sinkhorn": _sym_args_sinkhorn,
     "essential_matrix_estimator": _sym_args_essential,
     "voxel_downsampling": _sym_args_voxel,
+    # dense single-image heads (symbolic B, H, W — pure stencils)
     "shi_tomasi": _sym_args_image_head,
     "fast": _sym_args_image_head,
     "dog": _sym_args_image_head,
     "dog_with_score": _sym_args_image_head,
     "bad": _sym_args_image_head,
+    "shi_tomasi_angle": _sym_args_image_head,
+    "shi_tomasi_bad": _sym_args_image_head,
+    "akaze": _sym_args_image_head,
+    # sparse single-image head (symbolic H/W under the top-k constraint)
+    "shi_tomasi_angle_sparse_bad": _sym_args_sparse_head,
+    # composite two-image matchers (+extraction/essential variants)
+    "shi_tomasi_bad_sinkhorn": _sym_args_matcher,
+    "shi_tomasi_bad_sinkhorn_extraction": _sym_args_matcher,
     "shi_tomasi_sparse_bad_sinkhorn": _sym_args_matcher,
+    "shi_tomasi_sparse_bad_sinkhorn_extraction": _sym_args_matcher,
     "shi_tomasi_angle_sparse_bad_sinkhorn": _sym_args_matcher,
     "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters": _sym_args_matcher,
+    "shi_tomasi_angle_sparse_bad_sinkhorn_with_filters_extraction":
+        _sym_args_matcher,
     "shi_tomasi_angle_sparse_bad_sinkhorn_extraction": _sym_args_matcher,
     "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix":
         _sym_args_matcher_k_inv,
+    "akaze_sparse_bad_sinkhorn": _sym_args_matcher,
+    "akaze_sparse_bad_sinkhorn_extraction": _sym_args_matcher,
+    "akaze_sparse_bad_sinkhorn_essential_matrix": _sym_args_matcher_k_inv,
 }
 
 
@@ -130,9 +160,10 @@ def export_model_polymorphic(name: str, cfg: MatcherConfig | None = None,
                              **overrides) -> jax.export.Exported:
     """Lower a pipeline with symbolic input dimensions (dynamic-axes parity).
 
-    Only the pipelines in ``POLYMORPHIC_EXPORTS`` support this; composite
-    image matchers are intentionally static-shape (top-k keypoint counts and
-    block-reduction tilings are compile-time structure on TPU).
+    Every registry pipeline supports this (``POLYMORPHIC_EXPORTS`` covers all
+    24 names); keypoint/match counts stay compile-time structure (top-k counts
+    and block tilings are static on TPU), image H/W — and batch, for the dense
+    heads — are symbolic.
     """
     if name not in POLYMORPHIC_EXPORTS:
         raise ValueError(

@@ -241,7 +241,8 @@ def shi_tomasi_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                            epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
+                           distance_type=cfg.distance_type,
+                           use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs
 
 
@@ -309,7 +310,8 @@ def shi_tomasi_sparse_bad_sinkhorn_match(image1: jax.Array, image2: jax.Array,
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                            epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
+                           distance_type=cfg.distance_type,
+                           use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs
 
 
@@ -326,7 +328,8 @@ def shi_tomasi_angle_sparse_bad_sinkhorn_match(image1: jax.Array,
     desc1, desc2 = _split_pair(desc)
     probs = sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                            epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                           distance_type=cfg.distance_type)
+                           distance_type=cfg.distance_type,
+                           use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs
 
 
@@ -346,5 +349,6 @@ def shi_tomasi_angle_sparse_bad_sinkhorn_match_with_filters(
     probs, valid = sinkhorn_match_with_filters(
         desc1, desc2, iterations=cfg.sinkhorn_iterations, epsilon=cfg.epsilon,
         unused_score=cfg.unused_score, distance_type=cfg.distance_type,
-        ratio_threshold=cfg.ratio_threshold, dustbin_margin=cfg.dustbin_margin)
+        ratio_threshold=cfg.ratio_threshold, dustbin_margin=cfg.dustbin_margin,
+        use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs, valid

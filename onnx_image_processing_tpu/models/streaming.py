@@ -57,7 +57,8 @@ from .shi_tomasi_family import _dense_detect_describe, _sparse_detect_describe
 def _sinkhorn_cfg(desc1, desc2, cfg: MatcherConfig):
     return sinkhorn_match(desc1, desc2, iterations=cfg.sinkhorn_iterations,
                           epsilon=cfg.epsilon, unused_score=cfg.unused_score,
-                          distance_type=cfg.distance_type)
+                          distance_type=cfg.distance_type,
+                          use_pallas=cfg.use_pallas)
 
 
 def _match_plain(feats1, feats2, cfg: MatcherConfig):
@@ -70,7 +71,8 @@ def _match_with_filters(feats1, feats2, cfg: MatcherConfig):
     probs, valid = sinkhorn_match_with_filters(
         desc1, desc2, iterations=cfg.sinkhorn_iterations, epsilon=cfg.epsilon,
         unused_score=cfg.unused_score, distance_type=cfg.distance_type,
-        ratio_threshold=cfg.ratio_threshold, dustbin_margin=cfg.dustbin_margin)
+        ratio_threshold=cfg.ratio_threshold, dustbin_margin=cfg.dustbin_margin,
+        use_pallas=cfg.use_pallas)
     return kpts1, kpts2, probs, valid
 
 

@@ -75,7 +75,9 @@ def voxel_downsampling(points: jax.Array, leaf_size: jax.Array):
     # floor), so group_mean = base + mean(residuals). Residuals ∈ [0, leaf).
     sbase = jnp.floor(spts / leaf_size) * leaf_size
     csum = jnp.cumsum(spts - sbase, axis=0)
-    idx1 = jnp.arange(1, n + 1, dtype=jnp.float32)
+    # int32 payload (lax.sort carries mixed payload dtypes): group counts stay
+    # exact for any N, not just the float32-exact N < 2^24 range.
+    idx1 = jnp.arange(1, n + 1, dtype=jnp.int32)
     is_end = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones(1, bool)])
     m = jnp.sum(is_end.astype(jnp.int32))
 
@@ -87,13 +89,14 @@ def voxel_downsampling(points: jax.Array, leaf_size: jax.Array):
         + tuple(sbase[:, i] for i in range(d)),
         num_keys=1, is_stable=True)
     cend = jnp.stack(compacted[1:1 + d], axis=1)       # prefix at group ends
-    cnt_end = compacted[1 + d]                          # end index + 1
+    cnt_end = compacted[1 + d]                          # end index + 1 (int32)
     base = jnp.stack(compacted[2 + d:2 + 2 * d], axis=1)
 
     # Group sums/counts = adjacent differences of the compacted prefix rows.
     prev = jnp.concatenate([jnp.zeros((1, d), jnp.float32), cend[:-1]], axis=0)
-    prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.float32), cnt_end[:-1]])
+    prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32), cnt_end[:-1]])
     counts = cnt_end - prev_cnt
     mask = jnp.arange(n) < m
-    means = base + (cend - prev) / jnp.maximum(counts, 1.0)[:, None]
+    means = base + (cend - prev) / jnp.maximum(counts, 1).astype(
+        jnp.float32)[:, None]
     return means * mask[:, None], mask

@@ -199,6 +199,7 @@ def sinkhorn_match_with_filters(
     distance_type: str = "l2",
     ratio_threshold: float | None = None,
     dustbin_margin: float | None = None,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Sinkhorn matching with in-graph outlier filters.
 
@@ -215,7 +216,8 @@ def sinkhorn_match_with_filters(
 
     n, m = desc1.shape[1], desc2.shape[1]
     p = sinkhorn_match(desc1, desc2, iterations=iterations, epsilon=epsilon,
-                       unused_score=unused_score, distance_type=distance_type)
+                       unused_score=unused_score, distance_type=distance_type,
+                       use_pallas=use_pallas)
     b = p.shape[0]
     valid = jnp.ones((b, n), dtype=bool)
     core = p[:, :n, :m]

@@ -52,6 +52,13 @@ def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
             B~8 the detect-stage stencil fusions lose ~5-10%/pair efficiency
             in the monolithic graph (round-4 trace; the round-3 reduce_window
             cliff itself is gone, killed by kernels/select_frontend.py).
+            Compile cost note: the remainder executes a SECOND vmapped
+            sub-graph at width B % chunk, so each distinct remainder width
+            adds that sub-graph's compile time to its executable (each
+            distinct B already specializes the whole jitted wrapper under
+            XLA's static-shape rule). Serving loops with varying batch sizes
+            should bucket B to a few fixed sizes — or pad to a multiple of
+            ``chunk`` and drop the padded outputs — to bound compiles.
 
     Returns:
         callable (img1 (B,1,H,W), img2 (B,1,H,W)) -> pytree with a leading

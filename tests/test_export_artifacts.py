@@ -118,10 +118,14 @@ def _poly_args(name, cfg, scale, rng):
     if name == "voxel_downsampling":
         return (jnp.asarray(rng.uniform(0, 2, (100 * scale, 3)).astype(np.float32)),
                 jnp.asarray(np.float32(0.1)))
-    if models.get(name).n_images == 2:
-        # matchers: shapes must satisfy ceil(H/6)*ceil(W/6) >= K (=64 here)
+    if (models.get(name).n_images == 2
+            or name == "shi_tomasi_angle_sparse_bad"):
+        # sparse/matcher pipelines: shapes must satisfy the top-k block-grid
+        # constraint ceil(H/bs)*ceil(W/bs) >= K (=64 here, bs <= 6)
         h, w = 48 + 16 * scale, 56 + 24 * scale
         i1 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
+        if models.get(name).n_images == 1:
+            return (i1,)
         i2 = jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32))
         if models.get(name).takes_k_inv:
             k_inv = np.linalg.inv(np.array(
@@ -133,10 +137,15 @@ def _poly_args(name, cfg, scale, rng):
     return (jnp.asarray(rng.uniform(0, 255, (1, 1, h, w)).astype(np.float32)),)
 
 
-@pytest.mark.parametrize("name", [
-    "sinkhorn", "essential_matrix_estimator", "voxel_downsampling",
-    "shi_tomasi", "bad", "shi_tomasi_angle_sparse_bad_sinkhorn",
-    "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"])
+def test_polymorphic_exports_cover_every_registry_name():
+    """Full reference --dynamic-axes parity: EVERY registry pipeline has a
+    shape-polymorphic export recipe (every reference export script takes the
+    flag, e.g. `onnx_export/export_akaze_sparse_bad_sinkhorn.py:203,268-280`,
+    `export_shi_tomasi_bad_sinkhorn.py:162-164`)."""
+    assert set(models.POLYMORPHIC_EXPORTS) == set(models.names())
+
+
+@pytest.mark.parametrize("name", sorted(models.POLYMORPHIC_EXPORTS))
 def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
     """One shape-polymorphic artifact must serve several concrete shapes
     bit-exactly (reference dynamic-axes parity: the E estimator's dynamic N/M
@@ -152,7 +161,7 @@ def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
     loaded = models.load_exported(path)
     live = models.build(name, cfg)
     rng = np.random.default_rng(7)
-    for scale in (1, 2, 5):
+    for scale in (1, 5):
         args = _poly_args(name, cfg, scale, rng)
         a_out = live(*args)
         b_out = loaded(*args)
@@ -165,7 +174,7 @@ def test_polymorphic_export_serves_multiple_shapes(name, tmp_path):
 
 def test_polymorphic_export_unsupported_name_raises():
     with pytest.raises(ValueError, match="no shape-polymorphic export"):
-        models.export_model_polymorphic("akaze_sparse_bad_sinkhorn")
+        models.export_model_polymorphic("not_a_registered_pipeline")
 
 
 @pytest.mark.parametrize("name", ["sinkhorn", "essential_matrix_estimator",
