@@ -168,7 +168,11 @@ class MatcherConfig:
     # robustness with zero host-side geometry, still one static jit graph.
     essential_ransac_hypotheses: int = 0
     # RANSAC inlier threshold in pixels (tau = (px / fx)^2, camera-aware).
-    essential_ransac_px: float = 2.0
+    # 0.75 is the measured accuracy optimum of the round-5 px x hypotheses
+    # sweep on both VO scenes: it beats the host cv2-RANSAC stack on every
+    # deep-scene metric (ATE 0.188 vs 0.279, t-dir 9.6 vs 9.9 deg) where the
+    # old 2.0 trailed translation direction 14.3 vs 9.9 deg (BASELINE.md).
+    essential_ransac_px: float = 0.75
 
     # Selection frontend backend: "auto" routes the NMS + block-reduce stage
     # through the fused Pallas kernel (kernels/select_frontend.py) whenever

@@ -714,7 +714,7 @@ def estimate_essential_from_keypoints(
     irls_iters: int = 0,
     irls_px: float = 2.0,
     ransac_hypotheses: int = 0,
-    ransac_px: float = 2.0,
+    ransac_px: float = 0.75,
 ) -> jax.Array:
     """E from actual (y, x) keypoints and their Sinkhorn matrix (batch-free).
 
@@ -730,7 +730,16 @@ def estimate_essential_from_keypoints(
             polish steps after the inlier refit. 0 (default) keeps the
             reference's soft-weighted LS solve (+ optional IRLS).
         ransac_px: RANSAC inlier threshold in pixels (camera-aware:
-            tau = (px / fx)^2 in normalized squared Sampson error).
+            tau = (px / fx)^2 in normalized squared Sampson error). The 0.75
+            default is the measured accuracy optimum of a px in {0.5, 0.75,
+            1, 2} x hypotheses in {128, 256} sweep on both 60-frame VO
+            scenes (round 5, cached-match harness): at px0.75 the in-graph
+            RANSAC beats the host cv2 stack on EVERY metric of the clean
+            deep scene (ATE 0.188 vs 0.279, rot 0.303 vs 0.413, t-dir 9.6
+            vs 9.9 deg at 256 hypotheses) where px2.0 trailed t-dir 14.3
+            vs 9.9; px0.5 over-tightens (deep ATE 0.244). The MSAC gate is
+            scale-floored in the polish, so a tight tau cannot collapse the
+            inlier set (see essential_ransac_from_candidates).
 
     Returns:
         (3, 3) essential matrix.
