@@ -124,8 +124,11 @@ def _make_tile_compute(s, ps, r_max, groups, bilinear, integer_exact):
             # 0/1 interval columns with int32 accumulation — box sums are
             # EXACT (the bf16x3 split is ~1e-5). The 256 recombination and
             # 0.5 rescale run in the f32 epilogue. Opt-in exactness mode;
-            # measure before making it a default (Mosaic's int8 matmul rate
-            # at these shapes has not beaten the bf16x3 path historically).
+            # A/B'd at production shapes (round 5, benchmarks/
+            # int8_sampler_ab.py): 10-35% SLOWER than bf16x3 everywhere —
+            # the K=70 contraction fills half a K-tile and the digit
+            # decomposition is VPU-bound — with bit-identical outputs, so
+            # it stays opt-in (docs/KERNELS.md decision table).
             vi = jnp.round(2.0 * centered).astype(jnp.int32)
             d0 = ((vi + 128) % 256) - 128
             d1 = (vi - d0) // 256                   # in {-1, 0, 1}

@@ -354,9 +354,12 @@ def sparse_bad(
         integer_image: promise that pixel values are integers (uint8-derived
             — true for every image loaded by the CLIs). Routes the nearest-
             mode Pallas sampler through an int8-digit MXU contraction with
-            EXACT (zero-rounding) box sums; ~15% slower than the default
-            bf16x3 path on v5e, so opt in for bit-stability, not speed.
-            Ignored for bilinear mode and on the jnp path.
+            EXACT (zero-rounding) box sums; measured 10-35% slower than the
+            default bf16x3 path at every production cell (480p/1080p x
+            K 512/1024, `benchmarks/int8_sampler_ab.py`; decision table in
+            docs/KERNELS.md), with bit-identical outputs on integer images —
+            opt in for exactness-by-construction, not speed. Ignored for
+            bilinear mode and on the jnp path.
 
     Returns:
         (B, K, P) descriptors, optionally L2-normalized.
