@@ -454,9 +454,11 @@ def evaluate(rel_poses, gt, label):
 
 
 def run_vo_akaze(frames, k, max_keypoints=512, match_threshold=0.1,
-                 max_matches=256):
+                 max_matches=256, **overrides):
     """AKAZE matcher (BASELINE config #5 family) + host extraction + cv2
-    RANSAC pose — the VO deployment model's accuracy row."""
+    RANSAC pose — the VO deployment model's accuracy row. ``overrides`` are
+    MatcherConfig fields (the round-5 disposition sweep runs nms_radius
+    through here — BASELINE.md AKAZE VO table)."""
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -471,7 +473,7 @@ def run_vo_akaze(frames, k, max_keypoints=512, match_threshold=0.1,
     rel = []
     with _cpu_scope():
         fn = models.build("akaze_sparse_bad_sinkhorn",
-                          max_keypoints=max_keypoints)
+                          max_keypoints=max_keypoints, **overrides)
         for i in range(len(frames) - 1):
             a = jnp.asarray(frames[i][None, None])
             b = jnp.asarray(frames[i + 1][None, None])

@@ -16,7 +16,8 @@ import os
 
 import pytest
 
-from benchmarks.vo_accuracy import run_comparison
+from benchmarks.vo_accuracy import (evaluate, make_sequence, run_comparison,
+                                    run_vo_akaze, run_vo_ours)
 
 REFERENCE_AVAILABLE = os.path.isdir(
     os.path.join(os.environ.get("REFERENCE_PATH", "/root/reference"),
@@ -69,3 +70,27 @@ def test_vo_accuracy_matches_reference_deep_scene():
     assert ours["rpe_rot_deg_mean"] < 1.5, ours
     assert abs(ours["rpe_rot_deg_mean"] - ref["rpe_rot_deg_mean"]) < 0.3, (
         ours, ref)
+
+
+def test_akaze_vo_accuracy_disposition_deep_scene():
+    """AKAZE VO accuracy disposition (VERDICT r4 item 5): the 512-kpt AKAZE
+    family's deep-scene gap (ATE 0.479 vs flagship 0.279 at the export
+    default nms_radius=3) is keypoint CLUSTERING, not the detector — at
+    nms_radius=5 (one CLI flag) AKAZE matches or beats the flagship on this
+    scene. Pins the disposition at the test scale, where the round-5 sweep
+    calibrated (2026-08-19): flagship ATE 0.1633 / rot 0.595 / t-dir 14.4;
+    AKAZE r5 ATE 0.1456 / rot 0.506 / t-dir 12.1 (r3: 0.245/0.709/27.8).
+    Full 60-frame table: BASELINE.md 'AKAZE VO accuracy disposition'."""
+    frames, poses, k = make_sequence(24, 192, 256, scene="deep")
+    flag = evaluate(run_vo_ours(frames, k, max_keypoints=384), poses,
+                    "flagship_384")
+    akaze = evaluate(run_vo_akaze(frames, k, max_keypoints=384, nms_radius=5),
+                     poses, "akaze_384_nms5")
+
+    assert akaze["pose_failures"] <= 2, akaze
+    # Calibrated ratio 0.89 — the verdict's bar is <= ~1.3x flagship.
+    assert akaze["ate_rmse"] <= 1.3 * flag["ate_rmse"] + 0.03, (akaze, flag)
+    assert akaze["rpe_rot_deg_mean"] <= flag["rpe_rot_deg_mean"] + 0.3, (
+        akaze, flag)
+    assert akaze["rpe_tdir_deg_mean"] <= 1.3 * flag["rpe_tdir_deg_mean"] + 2, (
+        akaze, flag)
