@@ -64,6 +64,11 @@ def _run_batched(args, name, h, w):
                      0, 255) for i in range(b)])[:, None].astype(np.float32))
 
     extract, match = models.build_streaming(name, max_keypoints=args.kpts)
+    if args.chunk:
+        from onnx_image_processing_tpu.parallel import chunk_batch
+
+        extract, match = (chunk_batch(extract, args.chunk),
+                          chunk_batch(match, args.chunk))
 
     def step(img, feats_prev):
         feats = extract(img)
@@ -74,7 +79,7 @@ def _run_batched(args, name, h, w):
     ms = chain_time(step, (mk(7), extract(mk(0))), n=30)
     print(json.dumps({
         "bench": "streaming_vo_batched", "model": name, "kpts": args.kpts,
-        "size": [h, w], "batch": b,
+        "size": [h, w], "batch": b, "chunk": args.chunk or None,
         "ms_per_step": round(ms, 4),
         "ms_per_pair": round(ms / b, 4),
         "pairs_per_s": round(b * 1e3 / ms, 1),
@@ -92,8 +97,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0,
                     help="measure batched streaming at this many concurrent "
                          "streams instead of the two-image comparison "
-                         "(sweet spot B=8 on v5e; B>=12 loses ~10-20%% to "
-                         "the detect-stage fusion drift, BASELINE.md)")
+                         "(sweet spot B=8 on v5e; non-multiple-of-8 widths "
+                         "pay an XLA stencil-layout drift — traced in "
+                         "BASELINE.md; parallel.chunk_batch holds the B=8 "
+                         "rate at any multiple of 8)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="with --batch: wrap extract/match in "
+                         "parallel.chunk_batch at this width")
     args = ap.parse_args(argv)
 
     setup_cache()

@@ -3,7 +3,7 @@
 story for the embarrassingly-parallel frame-matching workload)."""
 
 from .mesh import make_mesh, batch_sharding, shard_batch, device_put_batch
-from .throughput import stream_map, stream_map_chunked, vmap_pairs
+from .throughput import chunk_batch, stream_map, stream_map_chunked, vmap_pairs
 
 __all__ = ["make_mesh", "batch_sharding", "shard_batch", "device_put_batch",
-           "stream_map", "stream_map_chunked", "vmap_pairs"]
+           "chunk_batch", "stream_map", "stream_map_chunked", "vmap_pairs"]

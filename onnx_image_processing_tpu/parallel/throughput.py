@@ -91,6 +91,53 @@ def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
     return batched
 
 
+def chunk_batch(fn: Callable, chunk: int = 8) -> Callable:
+    """Run a batch-parallel ``fn`` over (B, ...) pytrees as sequential
+    ``chunk``-sized sub-batches under ``lax.map`` — the batched-streaming
+    analogue of ``vmap_pairs(chunk=...)``.
+
+    Why (measured, v5e, flagship streaming 480x640/512 — BASELINE.md
+    batched-streaming table, round 5): batched streaming is flat ~0.24-0.26
+    ms/pair at B in {1, 2, 8, 16} but XLA's detect-stage stencil fusions
+    degrade at other batch sizes (B=4 0.289, B=12 0.301 ms/pair — the
+    op-level trace attributes the whole +56 us/pair at B=12 to the
+    Gaussian-moment multiply_add fusions and added layout copies, while the
+    Pallas stages stay flat to the microsecond). Chunking at 8 executes the
+    B=8 graph at its measured sweet-spot rate for any depth; a remainder
+    (B % chunk) runs as one final smaller sub-batch.
+
+    Every leaf of ``fn``'s arguments and outputs must carry the same leading
+    batch axis (true of ``build_streaming``'s extract/match and any
+    batch-parallel pipeline). Results are identical to the unchunked call
+    (tests/test_parallel.py). Compile cost: as with ``vmap_pairs``, each
+    distinct remainder width compiles its own sub-graph — bucket B or pad to
+    a multiple of ``chunk`` in serving loops with varying batch sizes.
+    """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+
+    def chunked(*args):
+        import jax.numpy as jnp
+
+        b = jax.tree_util.tree_leaves(args)[0].shape[0]
+        if b <= chunk:
+            return fn(*args)
+        nc, rem = divmod(b, chunk)
+        bf = nc * chunk
+        head = jax.tree_util.tree_map(
+            lambda x: x[:bf].reshape((nc, chunk) + x.shape[1:]), args)
+        out = jax.lax.map(lambda a: fn(*a), head)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((bf,) + x.shape[2:]), out)
+        if rem:
+            tail = fn(*jax.tree_util.tree_map(lambda x: x[bf:], args))
+            out = jax.tree_util.tree_map(
+                lambda x, y: jnp.concatenate([x, y], axis=0), out, tail)
+        return out
+
+    return chunked
+
+
 def stream_map_chunked(fn_batched: Callable, pairs: Iterable, chunk: int,
                        depth: int = 2) -> Iterator:
     """Serve (img1, img2) pairs through a BATCHED matcher, ``chunk`` pairs per

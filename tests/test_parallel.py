@@ -155,6 +155,44 @@ def test_vmap_pairs_matches_stacked():
     np.testing.assert_allclose(p_b, p_v, atol=1e-6)
 
 
+def test_chunk_batch_matches_unchunked():
+    """chunk_batch (the batched-streaming analogue of vmap_pairs' chunking;
+    round-5 deep-batch drift fix, BASELINE.md) must reproduce the unchunked
+    batch call exactly — including a remainder sub-batch (B=5, chunk=2) and
+    the pass-through case (B <= chunk)."""
+    from onnx_image_processing_tpu import models
+    from onnx_image_processing_tpu.parallel import chunk_batch
+
+    rng = np.random.default_rng(9)
+    h, w, b = 96, 128, 5
+    imgs = jnp.asarray(rng.uniform(0, 255, (b, 1, h, w)).astype(np.float32))
+    prev = jnp.asarray(np.roll(np.asarray(imgs), 5, axis=3))
+
+    extract, match = models.build_streaming(
+        "shi_tomasi_angle_sparse_bad_sinkhorn",
+        max_keypoints=32, num_pairs=256, use_pallas=False)
+
+    f_prev, f_new = extract(prev), extract(imgs)
+    ref = match(f_prev, f_new)
+
+    ex_c = chunk_batch(extract, chunk=2)
+    ma_c = chunk_batch(match, chunk=2)
+    fc_prev, fc_new = ex_c(prev), ex_c(imgs)
+    for a, bb in zip(jax.tree_util.tree_leaves(fc_prev),
+                     jax.tree_util.tree_leaves(f_prev)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    out = ma_c(fc_prev, fc_new)
+    for a, bb in zip(jax.tree_util.tree_leaves(out),
+                     jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    # B <= chunk passes straight through.
+    out_small = chunk_batch(match, chunk=8)(f_prev, f_new)
+    for a, bb in zip(jax.tree_util.tree_leaves(out_small),
+                     jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_shard_map_compiles_with_zero_collectives(mesh):
     """The default shard_batch composition must contain NO collectives at the
     HLO level — the workload is embarrassingly parallel, so any collective is
