@@ -216,17 +216,43 @@ def gt_poses_deep(n_frames, step=0.60):
     return poses
 
 
+def gt_poses_roll(n_frames, step=0.45, roll_rate_deg=15.0):
+    """Rotation-dominant corridor flight: constant camera ROLL about the
+    optical axis (15 deg/frame by default — large enough that unoriented
+    descriptors must degrade frame-to-frame) on top of gentle
+    lateral+forward motion. Exercises the
+    oriented-descriptor path at the application level: frame-to-frame
+    matching must survive in-plane rotation, the reference's headline
+    rotation-invariance feature (`README.md` of the reference;
+    `shi_tomasi_angle_sparse_bad_sinkhorn.py`)."""
+    poses = []
+    for i in range(n_frames):
+        s = i * step
+        roll = np.radians(roll_rate_deg) * i
+        c = np.array([1.4 * np.sin(s * 0.25),
+                      0.25 * np.sin(s * 0.4), 0.30 * s])
+        yaw = 0.03 * np.sin(s * 0.3)
+        rz = np.array([[np.cos(roll), -np.sin(roll), 0],
+                       [np.sin(roll), np.cos(roll), 0], [0, 0, 1]])
+        ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        poses.append((rz @ ry, c))
+    return poses
+
+
 def make_sequence(n_frames, h, w, seed=0, scene="sprite"):
     """scene="sprite": the original 3-D point-sprite flight (ambiguous:
     both stacks fail pose recovery on ~40% of frames — low discriminative
     power, kept for continuity with round-3 numbers). scene="deep": the
     textured corridor with large baseline — the RANSAC stack succeeds on
     100% of frames there, so accuracy differences are meaningful
-    (VERDICT r3 item 5)."""
+    (VERDICT r3 item 5). scene="roll": the corridor under a constant
+    3 deg/frame camera roll — the rotation-invariance scene (round 5)."""
     fx = 0.9 * w
     k = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float64)
-    if scene == "deep":
-        poses = gt_poses_deep(n_frames)
+    if scene in ("deep", "roll"):
+        poses = (gt_poses_deep(n_frames) if scene == "deep"
+                 else gt_poses_roll(n_frames))
         frames = [render_corridor(r, c, k, h, w) for r, c in poses]
         return frames, poses, k
     pts, inten, size = make_scene(seed=seed)
@@ -294,8 +320,13 @@ def dir_deg(t_a, t_b):
 # ---------------------------------------------------------------------------
 
 def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
-                max_matches=256):
-    """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1."""
+                max_matches=256,
+                model="shi_tomasi_angle_sparse_bad_sinkhorn"):
+    """Flagship JAX matcher + host extraction + cv2 RANSAC pose, frame i->i+1.
+
+    ``model`` selects the registry pipeline — the roll scene runs the
+    UNORIENTED `shi_tomasi_sparse_bad_sinkhorn` through here as its ablation
+    row (orientation off is the only difference from the flagship)."""
     import jax.numpy as jnp
 
     from onnx_image_processing_tpu import models
@@ -309,8 +340,7 @@ def run_vo_ours(frames, k, max_keypoints=512, match_threshold=0.1,
 
     rel = []
     with _cpu_scope():
-        fn = models.build("shi_tomasi_angle_sparse_bad_sinkhorn",
-                          max_keypoints=max_keypoints)
+        fn = models.build(model, max_keypoints=max_keypoints)
         for i in range(len(frames) - 1):
             a = jnp.asarray(frames[i][None, None])
             b = jnp.asarray(frames[i + 1][None, None])
@@ -486,10 +516,11 @@ def run_vo_akaze(frames, k, max_keypoints=512, match_threshold=0.1,
 
 
 def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False,
-                   scene="sprite", with_akaze=False):
+                   scene="sprite", with_akaze=False, with_unoriented=False):
     """Run both VO stacks on one shared synthetic sequence; returns
     (ours_record, reference_record_or_None). Reused by the pinned accuracy
-    test (tests/test_vo_accuracy.py)."""
+    test (tests/test_vo_accuracy.py). ``with_unoriented`` adds the
+    orientation-ablation row (the roll scene's point)."""
     frames, poses, k = make_sequence(n_frames, h, w, scene=scene)
 
     ours = run_vo_ours(frames, k, max_keypoints)
@@ -497,6 +528,10 @@ def run_comparison(n_frames, h, w, max_keypoints, skip_reference=False,
     if with_akaze:
         evaluate(run_vo_akaze(frames, k, max_keypoints), poses,
                  f"ours_akaze_{scene}")
+    if with_unoriented:
+        evaluate(run_vo_ours(frames, k, max_keypoints,
+                             model="shi_tomasi_sparse_bad_sinkhorn"),
+                 poses, f"ours_unoriented_{scene}")
     rec_ref = None
     if not skip_reference and os.path.isdir(
             os.path.join(REFERENCE_PATH, "pytorch_model")):
@@ -535,12 +570,17 @@ def main(argv=None):
                     metavar=("H", "W"))
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--skip-reference", action="store_true")
-    ap.add_argument("--scene", choices=["sprite", "deep"], default="sprite",
+    ap.add_argument("--scene", choices=["sprite", "deep", "roll"],
+                    default="sprite",
                     help="sprite: round-3 ambiguous scene; deep: textured "
                          "corridor where the RANSAC stack fully succeeds "
-                         "(discriminative)")
+                         "(discriminative); roll: corridor under a "
+                         "3 deg/frame camera roll (rotation invariance)")
     ap.add_argument("--akaze", action="store_true",
                     help="add the AKAZE-family stack row")
+    ap.add_argument("--unoriented", action="store_true",
+                    help="add the unoriented-descriptor ablation row "
+                         "(shi_tomasi_sparse_bad_sinkhorn)")
     ap.add_argument("--irls", type=int, default=0,
                     help="IRLS reweighting iterations for the in-graph "
                          "essential solve (essential_irls_iters)")
@@ -567,7 +607,8 @@ def main(argv=None):
         return 0
     rec_ours, rec_ref = run_comparison(args.frames, h, w, args.max_keypoints,
                                        args.skip_reference, scene=args.scene,
-                                       with_akaze=args.akaze)
+                                       with_akaze=args.akaze,
+                                       with_unoriented=args.unoriented)
     if rec_ref is not None:
         print(json.dumps({
             "vo": "summary",
