@@ -150,6 +150,12 @@ def build_streaming(name: str, cfg: MatcherConfig | None = None,
             out = match(feats_ref, feats)     # ~half the two-image cost
             ...
             feats_ref = feats                 # or keep it: reference aging
+
+    Multi-stream serving: extract/match are batch-parallel, so B camera
+    streams advance one frame per call at (B, 1, H, W). B=8 is the measured
+    per-pair sweet spot on v5e; for deeper stream counts wrap both in
+    ``parallel.chunk_batch(fn, 8)``, which holds the B=8 rate flat through
+    B=24 (BASELINE.md batched-streaming table, round 5).
     """
     from .registry import get, resolve_config
 

@@ -471,18 +471,56 @@ def _run_essential_reference_draw(draw: dict) -> list[str]:
     return errors
 
 
+# Fixed AKAZE hi-res lattice (VERDICT r4 item 6): odd / >720p / 1080p-class
+# shapes, EXACT values reused across draws so the FED ladder's minutes-of-
+# compile-per-shape cost is paid at most once per (shape, kpts) cell and then
+# served by the persistent compile cache — random shape jitter at these sizes
+# would make every draw a fresh multi-minute compile.
+_AKAZE_HIRES_SHAPES = ((727, 1287), (911, 1607), (1083, 1923))
+
+
 def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
     # Production-and-above shapes (VERDICT r2 item 5): up to 1080p, with odd
     # jitter so no draw is tile-aligned. Images over the sampler's 4 MB VMEM
     # residency budget engage the windowed-DMA fallback naturally.
-    # Families: the flagship dominates the draw budget; AKAZE (bounded to
-    # <=720p — the 4-scale FED ladder at 1080p is minutes of compile per odd
-    # shape) and the essential-family graph make every compiled production
-    # pipeline part of the fuzz space (VERDICT r3 item 6).
+    # Families: the flagship dominates the draw budget; AKAZE and the
+    # essential-family graph make every compiled production pipeline part of
+    # the fuzz space (VERDICT r3 item 6). AKAZE hi-res draws come from the
+    # fixed precompiled lattice above with registry-default config (compile
+    # budget); low-res AKAZE draws keep full config variety.
     family = str(rng.choice(["flagship", "flagship", "akaze", "essential"]))
+    if family == "akaze" and bool(rng.integers(0, 2)):
+        h, w = _AKAZE_HIRES_SHAPES[int(rng.integers(0, 3))]
+        return {
+            "idx": idx, "family": family, "h": h, "w": w,
+            "max_keypoints": int(rng.choice([512, 1024])),
+            "num_pairs": 512, "sampling_mode": "nearest",
+            "binarize": True, "soft_binarize": False, "with_angle": True,
+            "nms_radius": 5, "topk_mode": "block", "essential_ransac": 0,
+            # Always exercise the AKAZE streaming split at these shapes —
+            # the lattice bounds its compile cost too.
+            "streaming": True,
+            "seed": int(rng.integers(0, 2**31)),
+        }
     if family == "akaze":
         h = int(rng.choice([480, 560, 720])) + int(rng.integers(0, 9))
         w = int(rng.choice([640, 960, 1280])) + int(rng.integers(0, 9))
+        # The AKAZE streaming split joins the fuzz space at compile-cheap
+        # low-res shapes too (~1/3 of draws, like flagship/essential).
+        return {
+            "idx": idx, "family": family, "h": h, "w": w,
+            "max_keypoints": int(rng.choice([128, 256, 512, 1024])),
+            "num_pairs": int(rng.choice([256, 512])),
+            "sampling_mode": str(rng.choice(["nearest", "bilinear"])),
+            "binarize": bool(rng.integers(0, 2)),
+            "soft_binarize": bool(rng.integers(0, 2)),
+            "with_angle": True,
+            "nms_radius": int(rng.choice([3, 5])),
+            "topk_mode": str(rng.choice(["block", "block", "sort"])),
+            "essential_ransac": 0,
+            "streaming": bool(rng.integers(0, 3) == 0),
+            "seed": int(rng.integers(0, 2**31)),
+        }
     else:
         h = int(rng.choice([480, 560, 720, 904, 1080])) + int(rng.integers(0, 9))
         w = int(rng.choice([640, 960, 1280, 1609, 1920])) + int(rng.integers(0, 9))
@@ -505,11 +543,9 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
         # or the in-graph vectorized RANSAC (+2 polish) — both compiled
         # graphs belong in the fuzz space.
         "essential_ransac": int(rng.choice([0, 128])),
-        # ~1/3 of flagship/essential draws also run the STREAMING split
+        # ~1/3 of draws (every family) also run the STREAMING split
         # (models/streaming.py) on the same inputs and check it against the
-        # stacked graph — fuzzes the split across shapes/configs on hardware
-        # (AKAZE excluded only for compile budget; its split is pinned by the
-        # CPU tier).
+        # stacked graph — fuzzes the split across shapes/configs on hardware.
         "streaming": bool(rng.integers(0, 3) == 0),
         "seed": int(rng.integers(0, 2**31)),
     }
@@ -582,15 +618,19 @@ def _run_tpu_draw(draw: dict) -> list[str]:
     with jax.default_device(jax.devices("cpu")[0]):
         out_c = [np.asarray(v) for v in run(cfg.with_(use_pallas=False))]
 
-    if draw.get("streaming") and family in ("flagship", "essential"):
+    if draw.get("streaming"):
         # Streaming-split consistency on hardware: frontend bit-exact vs the
         # stacked graph, P within f32 fusion tolerance (the Sinkhorn tail
-        # re-tiles in the smaller graph — see models/streaming.py).
+        # re-tiles in the smaller graph — see models/streaming.py). All
+        # three compiled families, including AKAZE (VERDICT r4 item 6).
         from onnx_image_processing_tpu.models import build_streaming
 
         if family == "essential":
             s_name = "shi_tomasi_angle_sparse_bad_sinkhorn_essential_matrix"
             extra = (k_inv,)
+        elif family == "akaze":
+            s_name = "akaze_sparse_bad_sinkhorn"
+            extra = ()
         else:
             s_name = ("shi_tomasi_angle_sparse_bad_sinkhorn"
                       if draw["with_angle"]
