@@ -105,6 +105,8 @@ def main(argv=None):
                     help="with --batch: wrap extract/match in "
                          "parallel.chunk_batch at this width")
     args = ap.parse_args(argv)
+    if args.chunk and not args.batch:
+        ap.error("--chunk only applies to the batched mode; pass --batch B")
 
     setup_cache()
     import jax.numpy as jnp

@@ -247,7 +247,7 @@ def make_sequence(n_frames, h, w, seed=0, scene="sprite"):
     textured corridor with large baseline — the RANSAC stack succeeds on
     100% of frames there, so accuracy differences are meaningful
     (VERDICT r3 item 5). scene="roll": the corridor under a constant
-    3 deg/frame camera roll — the rotation-invariance scene (round 5)."""
+    15 deg/frame camera roll — the rotation-invariance scene (round 5)."""
     fx = 0.9 * w
     k = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float64)
     if scene in ("deep", "roll"):
@@ -575,7 +575,7 @@ def main(argv=None):
                     help="sprite: round-3 ambiguous scene; deep: textured "
                          "corridor where the RANSAC stack fully succeeds "
                          "(discriminative); roll: corridor under a "
-                         "3 deg/frame camera roll (rotation invariance)")
+                         "15 deg/frame camera roll (rotation invariance)")
     ap.add_argument("--akaze", action="store_true",
                     help="add the AKAZE-family stack row")
     ap.add_argument("--unoriented", action="store_true",

@@ -72,8 +72,8 @@ def _poly_test_args(name, overrides, height, width, scale=1):
     if name == "voxel_downsampling":
         return (jnp.asarray(rng.uniform(0, 2, (1000 * scale, 3)).astype(np.float32)),
                 jnp.asarray(np.float32(0.05)))
-    if spec.n_images == 2 or name == "shi_tomasi_angle_sparse_bad":
-        # Composite matchers + the sparse single-image head: the symbolic
+    if spec.n_images == 2 or spec.selects_keypoints:
+        # Composite matchers + sparse single-image heads: the symbolic
         # scope requires enough NMS blocks for max_keypoints
         # (ceil(H/bs)*ceil(W/bs) >= K); 192x256 holds the registry default
         # K=1024 at bs=6.

@@ -124,17 +124,24 @@ class MatcherConfig:
     fast: FASTConfig = FASTConfig()
     dog: DoGConfig = DoGConfig()
 
-    # Descriptor sampling backend: None = auto (Pallas kernel on TPU, jnp on
-    # CPU); True/False force it. Set False when running TPU-traced code on a
-    # CPU mesh (e.g. the multichip dry run).
+    # Pallas backend for the WINNING kernels — the descriptor sampler AND
+    # (since the round-5 dynamic-axes work threaded it through every
+    # pipeline) the VMEM-resident Sinkhorn sweeps: None = auto (kernels on
+    # TPU, jnp on CPU); True/False force BOTH together. Set False when
+    # running TPU-traced code on a CPU mesh (e.g. the multichip dry run) or
+    # for cross-platform exports. A/B-ing one kernel in isolation means
+    # calling its op directly (ops/bad.sparse_bad(use_pallas=...),
+    # ops/sinkhorn.sinkhorn_match(use_pallas=...)), not this flag. The
+    # measured-negative detect kernels ride fused_detect below instead.
     use_pallas: bool | None = None
 
     # Promise that input pixel values are integers (true for uint8-derived
     # images, i.e. everything the CLIs load). Routes the nearest-mode Pallas
     # descriptor sampler through an int8-digit MXU contraction whose box sums
-    # are EXACT (zero rounding; the bf16x3 default is ~3e-5). Measured ~15%
-    # slower than the default on v5e, so it is an exactness option, not a
-    # perf one (see kernels/sparse_sampler.py).
+    # are EXACT (zero rounding; the bf16x3 default is ~3e-5). Measured
+    # 10-35% slower than the default at every production cell
+    # (benchmarks/int8_sampler_ab.py; docs/KERNELS.md), so it is an
+    # exactness option, not a perf one.
     integer_image: bool = False
 
     # Route the detect side through the hand-fused Pallas kernels: the

@@ -44,6 +44,12 @@ class PipelineSpec:
     defaults: MatcherConfig
     description: str = ""
     takes_k_inv: bool = False  # essential-matrix pipelines take a (3,3) K^-1
+    # Single-image heads that run NMS/top-k keypoint SELECTION (sparse
+    # detect+describe heads). Symbolic/export shape choices must satisfy the
+    # top-k block-grid constraint ceil(H/bs)*ceil(W/bs) >= max_keypoints for
+    # these, exactly as for the two-image matchers — arg builders branch on
+    # `n_images == 2 or selects_keypoints`, never on pipeline names.
+    selects_keypoints: bool = False
     # Non-image pipelines (standalone Sinkhorn / E estimator / voxel
     # downsampling — reference export_{sinkhorn,essential_matrix_estimator,
     # voxel_downsampling}.py) describe their inputs here:
@@ -193,7 +199,8 @@ register(PipelineSpec(
     _BASE.with_(block_size=5), "Shi-Tomasi scores + orientation map"))
 register(PipelineSpec(
     "shi_tomasi_angle_sparse_bad", shi_tomasi_angle_sparse_bad_detect, 1,
-    _BASE.with_(block_size=5), "single-image keypoints + oriented descriptors"))
+    _BASE.with_(block_size=5), "single-image keypoints + oriented descriptors",
+    selects_keypoints=True))
 
 register(PipelineSpec(
     "shi_tomasi_bad_sinkhorn", shi_tomasi_bad_sinkhorn_match, 2,

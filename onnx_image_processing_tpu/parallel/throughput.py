@@ -108,8 +108,14 @@ def chunk_batch(fn: Callable, chunk: int = 8) -> Callable:
 
     Every leaf of ``fn``'s arguments and outputs must carry the same leading
     batch axis (true of ``build_streaming``'s extract/match and any
-    batch-parallel pipeline). Results are identical to the unchunked call
-    (tests/test_parallel.py). Compile cost: as with ``vmap_pairs``, each
+    batch-parallel pipeline — NOT of the essential matchers' unbatched
+    ``k_inv`` argument; close over such extras instead). Results are
+    bit-identical to the unchunked call on CPU (tests/test_parallel.py);
+    on TPU a remainder sub-batch compiles a different-width graph, whose
+    XLA fusions may re-tile and move f32 outputs at ulp scale — the same
+    measured class as the streaming split's P band (BASELINE.md). Don't
+    compose with bit-equality checks across chunk boundaries on TPU.
+    Compile cost: as with ``vmap_pairs``, each
     distinct remainder width compiles its own sub-graph — bucket B or pad to
     a multiple of ``chunk`` in serving loops with varying batch sizes.
     """

@@ -119,7 +119,7 @@ def _poly_args(name, cfg, scale, rng):
         return (jnp.asarray(rng.uniform(0, 2, (100 * scale, 3)).astype(np.float32)),
                 jnp.asarray(np.float32(0.1)))
     if (models.get(name).n_images == 2
-            or name == "shi_tomasi_angle_sparse_bad"):
+            or models.get(name).selects_keypoints):
         # sparse/matcher pipelines: shapes must satisfy the top-k block-grid
         # constraint ceil(H/bs)*ceil(W/bs) >= K (=64 here, bs <= 6)
         h, w = 48 + 16 * scale, 56 + 24 * scale

@@ -489,42 +489,18 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
     # fixed precompiled lattice above with registry-default config (compile
     # budget); low-res AKAZE draws keep full config variety.
     family = str(rng.choice(["flagship", "flagship", "akaze", "essential"]))
-    if family == "akaze" and bool(rng.integers(0, 2)):
+    akaze_hires = family == "akaze" and bool(rng.integers(0, 2))
+    if akaze_hires:
         h, w = _AKAZE_HIRES_SHAPES[int(rng.integers(0, 3))]
-        return {
-            "idx": idx, "family": family, "h": h, "w": w,
-            "max_keypoints": int(rng.choice([512, 1024])),
-            "num_pairs": 512, "sampling_mode": "nearest",
-            "binarize": True, "soft_binarize": False, "with_angle": True,
-            "nms_radius": 5, "topk_mode": "block", "essential_ransac": 0,
-            # Always exercise the AKAZE streaming split at these shapes —
-            # the lattice bounds its compile cost too.
-            "streaming": True,
-            "seed": int(rng.integers(0, 2**31)),
-        }
-    if family == "akaze":
+    elif family == "akaze":
         h = int(rng.choice([480, 560, 720])) + int(rng.integers(0, 9))
         w = int(rng.choice([640, 960, 1280])) + int(rng.integers(0, 9))
-        # The AKAZE streaming split joins the fuzz space at compile-cheap
-        # low-res shapes too (~1/3 of draws, like flagship/essential).
-        return {
-            "idx": idx, "family": family, "h": h, "w": w,
-            "max_keypoints": int(rng.choice([128, 256, 512, 1024])),
-            "num_pairs": int(rng.choice([256, 512])),
-            "sampling_mode": str(rng.choice(["nearest", "bilinear"])),
-            "binarize": bool(rng.integers(0, 2)),
-            "soft_binarize": bool(rng.integers(0, 2)),
-            "with_angle": True,
-            "nms_radius": int(rng.choice([3, 5])),
-            "topk_mode": str(rng.choice(["block", "block", "sort"])),
-            "essential_ransac": 0,
-            "streaming": bool(rng.integers(0, 3) == 0),
-            "seed": int(rng.integers(0, 2**31)),
-        }
     else:
         h = int(rng.choice([480, 560, 720, 904, 1080])) + int(rng.integers(0, 9))
         w = int(rng.choice([640, 960, 1280, 1609, 1920])) + int(rng.integers(0, 9))
-    return {
+    # ONE base draw dict — family-specific cells override fields below, so a
+    # new knob added here reaches every family (round-5 advisor finding).
+    draw = {
         "idx": idx,
         "family": family,
         "h": h,
@@ -541,14 +517,26 @@ def _one_tpu_draw(rng: np.random.Generator, idx: int) -> dict:
         "topk_mode": str(rng.choice(["block", "block", "sort"])),
         # Essential-family solver mode: plain weighted LS (reference parity)
         # or the in-graph vectorized RANSAC (+2 polish) — both compiled
-        # graphs belong in the fuzz space.
-        "essential_ransac": int(rng.choice([0, 128])),
+        # graphs belong in the fuzz space. Non-essential families pin 0.
+        "essential_ransac": (int(rng.choice([0, 128]))
+                             if family == "essential" else 0),
         # ~1/3 of draws (every family) also run the STREAMING split
         # (models/streaming.py) on the same inputs and check it against the
         # stacked graph — fuzzes the split across shapes/configs on hardware.
         "streaming": bool(rng.integers(0, 3) == 0),
         "seed": int(rng.integers(0, 2**31)),
     }
+    if family == "akaze":
+        draw["with_angle"] = True
+    if akaze_hires:
+        # Registry-default config at the fixed lattice shapes, so distinct
+        # compiles are bounded to shapes x {512, 1024} kpts; streaming is
+        # always on — the lattice bounds its compile cost too.
+        draw.update(max_keypoints=int(rng.choice([512, 1024])),
+                    num_pairs=512, sampling_mode="nearest", binarize=True,
+                    soft_binarize=False, nms_radius=5, topk_mode="block",
+                    streaming=True)
+    return draw
 
 
 def _run_tpu_draw(draw: dict) -> list[str]:
@@ -640,13 +628,34 @@ def _run_tpu_draw(draw: dict) -> list[str]:
         out_s = [np.asarray(v) for v in
                  ma_fn(ex_fn(jnp.asarray(img1)), ex_fn(jnp.asarray(img2)),
                        *extra)]
+        kpts_equal = True
         for nm, a, b in (("k1", out_s[0], out_t[0]),
                          ("k2", out_s[1], out_t[1])):
-            if not (a == b).all():
+            if (a == b).all():
+                continue
+            if family == "akaze":
+                # The AKAZE frontend's FED-ladder/orientation fusions
+                # re-tile between the B=1 extract and B=2 stacked graphs
+                # (measured ulp-scale score drift, pinned in
+                # test_akaze_streaming_split_on_hardware) — allow the same
+                # rank-boundary swap budget as the TPU/CPU comparison below
+                # instead of demanding bit equality.
+                s_a = {tuple(v) for v in a[0].tolist()}
+                s_b = {tuple(v) for v in b[0].tolist()}
+                if len(s_a ^ s_b) > 4:
+                    errors.append(
+                        f"streaming {nm} set differs from stacked "
+                        f"({len(s_a ^ s_b)} symmetric difference)")
+                kpts_equal = False
+            else:
                 errors.append(f"streaming {nm} != stacked {nm} (bit)")
-        dp = np.abs(out_s[2] - out_t[2]).max()
-        if dp > 1e-4:
-            errors.append(f"streaming P diverges from stacked: max {dp:.2e}")
+        if kpts_equal:
+            dp = np.abs(out_s[2] - out_t[2]).max()
+            if dp > 1e-4:
+                errors.append(
+                    f"streaming P diverges from stacked: max {dp:.2e}")
+        # (rank-boundary swaps permute P rows/cols; the TPU/CPU comparison
+        # below still validates this draw's descriptors+Sinkhorn.)
     if family == "essential":
         k1_t, k2_t, p_t, e_t = out_t
         k1_c, k2_c, p_c, e_c = out_c
