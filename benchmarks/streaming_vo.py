@@ -107,6 +107,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.chunk and not args.batch:
         ap.error("--chunk only applies to the batched mode; pass --batch B")
+    if args.batch and args.essential:
+        ap.error("--essential is single-stream only: the essential matchers' "
+                 "match(feats1, feats2, k_inv) solves one E per call "
+                 "(models/streaming.py) — batched mode measures the plain "
+                 "matcher split")
 
     setup_cache()
     import jax.numpy as jnp

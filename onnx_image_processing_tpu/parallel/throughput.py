@@ -67,28 +67,14 @@ def vmap_pairs(fn: Callable, chunk: int | None = None) -> Callable:
     vm = jax.vmap(lambda a, b: fn(a[None], b[None]))
 
     def batched(img1, img2):
-        b = img1.shape[0]
-        if chunk is not None and b > chunk:
-            import jax.numpy as jnp
-            nc, rem = divmod(b, chunk)
-            bf = nc * chunk
-            c1 = img1[:bf].reshape((nc, chunk) + img1.shape[1:])
-            c2 = img2[:bf].reshape((nc, chunk) + img2.shape[1:])
-            out = jax.lax.map(lambda ab: vm(ab[0], ab[1]), (c1, c2))
-            out = jax.tree_util.tree_map(
-                lambda x: x.reshape((bf,) + x.shape[3:]), out)
-            if rem:
-                tail = jax.tree_util.tree_map(
-                    lambda x: x[:, 0], vm(img1[bf:], img2[bf:]))
-                out = jax.tree_util.tree_map(
-                    lambda x, y: jnp.concatenate([x, y], axis=0), out, tail)
-            return out
         out = vm(img1, img2)
         # fn's leaves carry their own leading batch-1 axis; squeeze it so the
         # result looks exactly like the stacked-batch call: (B, ...) leaves.
         return jax.tree_util.tree_map(lambda x: x[:, 0], out)
 
-    return batched
+    # One implementation of the split/remainder/concat discipline:
+    # chunk_batch below (identical results, tests/test_parallel.py).
+    return batched if chunk is None else chunk_batch(batched, chunk)
 
 
 def chunk_batch(fn: Callable, chunk: int = 8) -> Callable:

@@ -85,14 +85,18 @@ def test_rotation_invariance_vo_roll_scene():
                                  model="shi_tomasi_sparse_bad_sinkhorn"),
                      poses, "roll_unoriented")
 
-    # The oriented stack survives sustained roll outright...
+    # The oriented stack survives sustained roll outright. The rot bound is
+    # pinned BELOW the unoriented ablation's calibrated 0.690 so a silently
+    # disabled angle path (flagship degenerating to the ablation) fails here,
+    # not just the relative check below.
     assert flag["pose_failures"] <= 2, flag
     assert flag["ate_rmse"] < 0.2, flag
-    assert flag["rpe_rot_deg_mean"] < 1.0, flag
-    # ...and orientation must not cost rotation accuracy vs the ablation
-    # (calibrated margin 0.18 deg; slack for cv2-RANSAC seeding).
+    assert flag["rpe_rot_deg_mean"] < 0.62, flag
+    # ...and orientation must strictly BUY rotation accuracy vs the ablation
+    # (calibrated gap 0.18 deg; 0.06 keeps ~0.12 slack for cv2-RANSAC
+    # seeding while still failing on flag == unori).
     assert (flag["rpe_rot_deg_mean"]
-            <= unori["rpe_rot_deg_mean"] + 0.05), (flag, unori)
+            <= unori["rpe_rot_deg_mean"] - 0.06), (flag, unori)
 
 
 def test_akaze_vo_accuracy_disposition_deep_scene():
