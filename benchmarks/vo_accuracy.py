@@ -161,12 +161,55 @@ def _tex(u, v):
     return 20.0 + 215.0 * t
 
 
-def render_corridor(r_wc, c, k, h, w):
+_PHOTO = None
+
+
+def _photo_tex(u, v):
+    """Bilinear sample of a real PHOTOGRAPH, mirror-tiled — real texture
+    statistics (1/f spectrum, strong edges, genuinely flat regions) instead
+    of the value noise's uniform band-limited field. Uses the reference's
+    own sample photo (`sample_data/axis141105267575_TP_V4.jpg`), so the
+    "photo" scene measures VO accuracy on the texture class the reference
+    demos on, with the corridor's exact 3-D ground truth."""
+    global _PHOTO
+    if _PHOTO is None:
+        from PIL import Image
+        _PHOTO = np.asarray(Image.open(os.path.join(
+            REFERENCE_PATH, "sample_data",
+            "axis141105267575_TP_V4.jpg")).convert("L"), np.float32)
+    ph, pw = _PHOTO.shape
+    # ~35 photo px per (already x1.3-scaled) world unit: the 5-unit wall
+    # height maps to ~230 photo px — about 1:1 with the rendered frame at
+    # working depth — and the mirror period (2*799/45.5 ~ 35 world units on
+    # the short axis) exceeds the 60-frame flight, so no repeated texture.
+    # Offsets keep every visible coordinate away from the |.| reflection
+    # axis (a mirror at an on-screen 0-crossing would paint symmetric
+    # feature twins about the image center — ambiguous matches).
+    x, y = u * 35.0 + 1000.3, v * 35.0 + 750.7
+
+    def mirror(a, n):
+        a = np.abs(a) % (2 * n - 2)
+        return np.where(a > n - 1, 2 * n - 2 - a, a)
+
+    x, y = mirror(x, pw), mirror(y, ph)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, pw - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, ph - 2)
+    fx, fy = x - x0, y - y0
+    t00 = _PHOTO[y0, x0]
+    t01 = _PHOTO[y0, x0 + 1]
+    t10 = _PHOTO[y0 + 1, x0]
+    t11 = _PHOTO[y0 + 1, x0 + 1]
+    return (t00 * (1 - fx) * (1 - fy) + t01 * fx * (1 - fy)
+            + t10 * (1 - fx) * fy + t11 * fx * fy)
+
+
+def render_corridor(r_wc, c, k, h, w, tex=_tex):
     """Ray-cast a textured corridor: floor/ceiling/side walls (all OBLIQUE to
     the camera — no dominant frontal plane, which is what made the naive
     room scene degenerate: matches concentrated on the back wall and
     findEssentialMat's planar ambiguity broke recoverPose chirality) plus a
-    distant far cap."""
+    distant far cap. ``tex(u, v)`` paints the planes: the 4-octave value
+    noise by default, or ``_photo_tex`` for real photograph statistics."""
     kinv = np.linalg.inv(k)
     ys, xs = np.mgrid[0:h, 0:w]
     pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)],
@@ -188,7 +231,7 @@ def render_corridor(r_wc, c, k, h, w):
         ok = (tval > 0.2) & np.isfinite(tval) & (tval < depth)
         pts = c[None, :] + tval[:, None] * rays_w
         u, v = pick(pts[ok])
-        img[ok] = _tex(u * 1.3, v * 1.3)
+        img[ok] = tex(u * 1.3, v * 1.3)
         depth[ok] = tval[ok]
     return np.clip(img.reshape(h, w), 0, 255).astype(np.float32)
 
@@ -247,13 +290,16 @@ def make_sequence(n_frames, h, w, seed=0, scene="sprite"):
     textured corridor with large baseline — the RANSAC stack succeeds on
     100% of frames there, so accuracy differences are meaningful
     (VERDICT r3 item 5). scene="roll": the corridor under a constant
-    15 deg/frame camera roll — the rotation-invariance scene (round 5)."""
+    15 deg/frame camera roll — the rotation-invariance scene (round 5).
+    scene="photo": the deep corridor painted with a REAL photograph
+    (round 5) — real texture statistics, same exact ground truth."""
     fx = 0.9 * w
     k = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float64)
-    if scene in ("deep", "roll"):
-        poses = (gt_poses_deep(n_frames) if scene == "deep"
-                 else gt_poses_roll(n_frames))
-        frames = [render_corridor(r, c, k, h, w) for r, c in poses]
+    if scene in ("deep", "roll", "photo"):
+        poses = (gt_poses_roll(n_frames) if scene == "roll"
+                 else gt_poses_deep(n_frames))
+        tex = _photo_tex if scene == "photo" else _tex
+        frames = [render_corridor(r, c, k, h, w, tex=tex) for r, c in poses]
         return frames, poses, k
     pts, inten, size = make_scene(seed=seed)
     poses = gt_poses(n_frames)
@@ -570,12 +616,14 @@ def main(argv=None):
                     metavar=("H", "W"))
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--skip-reference", action="store_true")
-    ap.add_argument("--scene", choices=["sprite", "deep", "roll"],
+    ap.add_argument("--scene", choices=["sprite", "deep", "roll", "photo"],
                     default="sprite",
                     help="sprite: round-3 ambiguous scene; deep: textured "
                          "corridor where the RANSAC stack fully succeeds "
                          "(discriminative); roll: corridor under a "
-                         "15 deg/frame camera roll (rotation invariance)")
+                         "15 deg/frame camera roll (rotation invariance); "
+                         "photo: the deep corridor painted with a real "
+                         "photograph (real texture statistics)")
     ap.add_argument("--akaze", action="store_true",
                     help="add the AKAZE-family stack row")
     ap.add_argument("--unoriented", action="store_true",

@@ -72,6 +72,35 @@ def test_vo_accuracy_matches_reference_deep_scene():
         ours, ref)
 
 
+@pytest.mark.skipif(not REFERENCE_AVAILABLE, reason="reference not mounted")
+def test_vo_accuracy_matches_reference_photo_scene():
+    """REAL-texture scene (round 5): the deep corridor painted with the
+    reference's own sample photograph (`sample_data/axis141105267575_TP_V4
+    .jpg`) — real texture statistics (1/f spectrum, hard edges, flat
+    regions) instead of value noise, same exact 3-D ground truth. Both
+    stacks must fully succeed, and ours must stay at-or-above reference
+    accuracy on real texture, not just on the synthetic field.
+
+    Calibration (benchmarks/vo_accuracy.py at this exact config,
+    2026-08-20): ours ATE 0.2071 vs reference 0.2322 (ratio 0.89), RPE
+    rotation mean 0.526 vs 0.556 deg, t-dir 13.9 vs 14.9 deg, both 0/23
+    pose failures."""
+    ours, ref = run_comparison(n_frames=24, h=192, w=256, max_keypoints=384,
+                               scene="photo")
+    assert ref is not None
+
+    assert ours["pose_failures"] <= 2, ours
+    assert ref["pose_failures"] <= 2, ref
+
+    # Calibrated ratio 0.89 (ours better); allow RANSAC-seed headroom.
+    assert ours["ate_rmse"] <= 1.3 * ref["ate_rmse"] + 0.03, (ours, ref)
+
+    # Sub-degree rotation for both, within 0.3 deg of each other.
+    assert ours["rpe_rot_deg_mean"] < 1.0, ours
+    assert abs(ours["rpe_rot_deg_mean"] - ref["rpe_rot_deg_mean"]) < 0.3, (
+        ours, ref)
+
+
 def test_rotation_invariance_vo_roll_scene():
     """Application-level rotation invariance (round 5, BASELINE.md roll
     scene): under a 15 deg/frame camera roll the oriented flagship must keep
