@@ -58,7 +58,12 @@ def main(argv=None) -> None:
         eps = p[0, 0, 0] * 1e-12  # serialize: next frame depends on this one
         return p[0, 0, 0], (a + eps, b + eps)
 
-    ms_per_frame = chain_time(step, (img1, img2), n=50)
+    # Median of 3 repeats: within-session spread is ~±1.7% (BASELINE.md
+    # config-1 variance note), so the median bounds single-run noise in the
+    # one recorded number; the compiled executable is reused, so repeats cost
+    # milliseconds, not recompiles.
+    ms_per_frame = float(np.median(
+        [chain_time(step, (img1, img2), n=50) for _ in range(3)]))
 
     if profile:
         dev_ms = device_trace_time(step, (img1, img2), n=50)
